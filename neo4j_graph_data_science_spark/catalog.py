@@ -1,0 +1,213 @@
+"""Graph catalog: the Spark-native equivalent of GDS's in-memory graph store.
+
+GDS projects a Neo4j store into an immutable CSR ``GraphStore`` held in a
+named catalog (reference: core/src/main/java/org/neo4j/gds/core/loading/
+GraphStoreCatalog.java:50-52, CSRGraphStore.java). Here a graph is a pair of
+DataFrames:
+
+  nodes(id: long, ...properties)            -- id is the DENSE internal id
+  edges(src: long, dst: long, rel_type: string, weight: double)
+
+with an ``id_map`` DataFrame mapping internal ids back to original keys,
+mirroring GDS's ArrayIdMap ("sorts the ids in ascending order",
+core/src/main/java/org/neo4j/gds/core/loading/ArrayIdMap.java:41-44): the
+internal id is ``row_number() over (order by original_key) - 1``, so results
+are deterministic and can always be joined back to original ids.
+
+Orientation semantics follow graph-projection-api/src/main/java/org/neo4j/
+gds/Orientation.java:29-41 (NATURAL / REVERSE / UNDIRECTED) and parallel-edge
+aggregation follows core/Aggregation.java:31-85 (NONE/SINGLE/SUM/MIN/MAX/COUNT).
+
+Everything is lazy DataFrames: Catalyst prunes columns and pushes filters to
+the parquet scans; no edges are materialized until an algorithm runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class Orientation(str, Enum):
+    NATURAL = "NATURAL"
+    REVERSE = "REVERSE"
+    UNDIRECTED = "UNDIRECTED"
+
+
+class Aggregation(str, Enum):
+    """Parallel-edge aggregation (reference Aggregation.java:31-85)."""
+
+    NONE = "NONE"      # keep multigraph
+    SINGLE = "SINGLE"  # arbitrary-but-deterministic single edge (min weight)
+    SUM = "SUM"
+    MIN = "MIN"
+    MAX = "MAX"
+    COUNT = "COUNT"
+
+
+SRC, DST, REL, W = "src", "dst", "rel_type", "weight"
+
+
+@dataclass
+class SparkGraph:
+    """nodes/edges pair + id map; immutable by convention (ops return new DFs)."""
+
+    nodes: DataFrame                      # (id long, ...props)
+    edges: DataFrame                      # (src, dst, rel_type, weight)
+    id_map: Optional[DataFrame] = None    # (id long, ...original key cols)
+    orientation: Orientation = Orientation.NATURAL
+    name: str = "graph"
+
+    # ---- shape accessors -------------------------------------------------
+    def node_count(self) -> int:
+        return self.nodes.count()
+
+    def relationship_count(self) -> int:
+        return self.edges.count()
+
+    def rel_types(self) -> list[str]:
+        return [r[0] for r in self.edges.select(REL).distinct().collect()]
+
+    # ---- projections (GDS orientation / rel-type filter / aggregation) ----
+    def filter_rel_types(self, *types: str) -> "SparkGraph":
+        """relationshipTypeFilteredGraph (Graph.java:55)."""
+        e = self.edges.filter(F.col(REL).isin(list(types)))
+        return SparkGraph(self.nodes, e, self.id_map, self.orientation, self.name)
+
+    def filter_nodes(self, predicate: str) -> "SparkGraph":
+        """Subgraph node filter (GraphStoreFilter): Catalyst parses the
+        predicate natively -- the GDS ExpressionParser is unnecessary."""
+        n = self.nodes.filter(F.expr(predicate))
+        ids = n.select(F.col("id"))
+        e = (
+            self.edges.join(ids.withColumnRenamed("id", SRC), SRC, "left_semi")
+            .join(ids.withColumnRenamed("id", DST), DST, "left_semi")
+        )
+        return SparkGraph(n, e, self.id_map, self.orientation, self.name)
+
+    def oriented_edges(self, orientation: Orientation | str | None = None) -> DataFrame:
+        """Edge DF under an orientation (Orientation.java:29-41).
+
+        UNDIRECTED = union(edges, swap(edges)): each undirected edge appears
+        once per direction, exactly like GDS's undirected projection doubles
+        relationshipCount().
+        """
+        o = Orientation((orientation or self.orientation))
+        e = self.edges
+        if o == Orientation.NATURAL:
+            return e
+        rev = e.select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col(REL), F.col(W)
+        )
+        if o == Orientation.REVERSE:
+            return rev
+        return e.select(SRC, DST, REL, W).unionByName(rev)
+
+    def aggregated_edges(
+        self,
+        aggregation: Aggregation | str = Aggregation.SINGLE,
+        orientation: Orientation | str | None = None,
+    ) -> DataFrame:
+        """Collapse parallel edges per Aggregation.java semantics. Map-side
+        partial aggregation makes this one well-combined shuffle."""
+        a = Aggregation(aggregation)
+        e = self.oriented_edges(orientation)
+        if a == Aggregation.NONE:
+            return e
+        agg = {
+            Aggregation.SINGLE: F.min(W),
+            Aggregation.SUM: F.sum(W),
+            Aggregation.MIN: F.min(W),
+            Aggregation.MAX: F.max(W),
+            Aggregation.COUNT: F.count(W).cast("double"),
+        }[a]
+        return e.groupBy(SRC, DST).agg(agg.alias(W))
+
+    def degrees(self, orientation: Orientation | str | None = None, weighted: bool = False) -> DataFrame:
+        """(id, degree) under orientation; weighted sums edge weights
+        (reference degree/DegreeCentrality.java:43)."""
+        e = self.oriented_edges(orientation)
+        agg = F.sum(W) if weighted else F.count(F.lit(1)).cast("double")
+        deg = e.groupBy(F.col(SRC).alias("id")).agg(agg.alias("degree"))
+        return (
+            self.nodes.select("id")
+            .join(deg, "id", "left")
+            .select("id", F.coalesce("degree", F.lit(0.0)).alias("degree"))
+        )
+
+    def with_node_property(self, result: DataFrame, key: str) -> "SparkGraph":
+        """``mutate`` mode: attach an algorithm result column to the nodes DF
+        (reference CommunityCompanion.nodePropertyValues -> addNodeProperty)."""
+        n = self.nodes.join(result.select("id", key), "id", "left")
+        return SparkGraph(n, self.edges, self.id_map, self.orientation, self.name)
+
+    def to_original_ids(self, result: DataFrame) -> DataFrame:
+        """Join a per-internal-id result back to original keys (IdMap reverse)."""
+        if self.id_map is None:
+            return result
+        return self.id_map.join(result, "id")
+
+
+def build_id_map(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Dense internal ids: row_number() over (order by key) - 1.
+
+    Matches ArrayIdMap.java:41-44 ("sorts the id's in ascending order").
+    NOTE: a global row_number is a single-partition sort at 10^12 scale; for
+    the huge path use ``zipWithIndex``-style monotonic ids per sorted range
+    partition. Dense ids only matter for array-indexed CSR kernels; the
+    DataFrame algorithms work with any unique long id.
+    """
+    w = Window.orderBy(*[F.col(c) for c in key_cols])
+    return df.select(*key_cols).distinct().withColumn(
+        "id", (F.row_number().over(w) - F.lit(1)).cast("long")
+    )
+
+
+def from_edge_list(
+    spark: SparkSession,
+    edge_list: list[tuple[int, int]] | list[tuple[int, int, float]],
+    n_nodes: int | None = None,
+    rel_type: str = "REL",
+    orientation: Orientation | str = Orientation.NATURAL,
+) -> SparkGraph:
+    """Tiny-fixture constructor -- the pytest analogue of GDS's GDL graphs
+    (gdl-graph/.../GdlFactory.java:78-90)."""
+    rows = [
+        (int(e[0]), int(e[1]), rel_type, float(e[2]) if len(e) > 2 else 1.0)
+        for e in edge_list
+    ]
+    edges = spark.createDataFrame(rows, f"{SRC} long, {DST} long, {REL} string, {W} double")
+    if n_nodes is None:
+        ids = {i for e in edge_list for i in (e[0], e[1])}
+        n_nodes = (max(ids) + 1) if ids else 0
+    nodes = spark.range(n_nodes).select(F.col("id").cast("long"))
+    return SparkGraph(nodes, edges, None, Orientation(orientation))
+
+
+class GraphCatalog:
+    """Named graph registry (GraphStoreCatalog.java:50-52 analogue)."""
+
+    def __init__(self) -> None:
+        self._graphs: dict[str, SparkGraph] = {}
+
+    def project(self, name: str, graph: SparkGraph) -> SparkGraph:
+        graph.name = name
+        self._graphs[name] = graph
+        return graph
+
+    def get(self, name: str) -> SparkGraph:
+        return self._graphs[name]
+
+    def exists(self, name: str) -> bool:
+        return name in self._graphs
+
+    def drop(self, name: str) -> None:
+        self._graphs.pop(name, None)
+
+    def list(self) -> list[str]:
+        return sorted(self._graphs)

@@ -1,0 +1,143 @@
+"""Approximate nearest neighbor search over embedding columns.
+
+Build-brief set: brute-force cosine top-k as the exact baseline, an
+LSH-bucketed variant (random hyperplane signs) as the scale path, and
+embedding-cosine near-duplicate pairs. The related GDS capability is KNN
+(similarity/knn/Knn.java:38, NN-Descent) -- NN-Descent's async shared-state
+refinement doesn't port to shuffles, so the scale path here is hyperplane
+LSH: same contract (approximate top-k), Spark-native execution.
+
+Dot products are Catalyst expressions (zip_with + aggregate) -- JVM-side,
+codegen'd; no Python. Brute force is a broadcast of the (small) query set
+against the corpus: O(|Q| * N) with no shuffle of the corpus. The LSH
+variant buckets both sides by signature so only same-bucket pairs are
+scored: the classic recall/cost dial.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine): exact top-k per query.
+
+    queries is broadcast (keep it small); corpus is scanned once.
+    Deterministic tie-break: (cosine desc, neighbor_id asc).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (hash-based, no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        v = []
+        for i in range(dim):
+            # xorshift-style integer hash -> [-1, 1)
+            x = (p * 1_000_003 + i * 7919 + seed) & 0xFFFFFFFF
+            x ^= x >> 13
+            x = (x * 0x5BD1E995) & 0xFFFFFFFF
+            x ^= x >> 15
+            v.append((x / 2**31) - 1.0)
+        n = math.sqrt(sum(a * a for a in v)) or 1.0
+        planes.append([a / n for a in v])
+    return planes
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature buckets, exact cosine
+    within bucket. Recall < 1; cost ~ N/2^planes per bucket."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+
+    def signature(vec):
+        bits = []
+        for pl in planes:
+            arr = F.array(*[F.lit(x) for x in pl])
+            d = F.aggregate(
+                F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")) \
+        .withColumn("_sig", signature(F.col("_cv")))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")) \
+        .withColumn("_sig", signature(F.col("_qv")))
+    scored = (
+        c.join(q, "_sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def cosine_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine): all pairs above threshold, a < b.
+
+    Exact all-pairs -- O(N^2) scoring; at scale gate behind LSH buckets
+    (lsh_topk's signature join) and verify candidates exactly.
+    """
+    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,182 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Not part of GDS; first-class here per the build brief. All variants stay
+JVM-side (md5/xxhash64, explode, groupBy -- no Python UDFs) so the hot path
+is whole-stage-codegen'd and shuffle-combined:
+
+  * exact_dedup          hash-groupBy on normalized text
+  * char_shingles        sliding character n-grams (the MinHash atom)
+  * minhash_signatures   k independent min-hashes; hash_i(s) = md5(i||s),
+                         min taken LEXICOGRAPHICALLY over hex strings --
+                         deterministic, engine-portable (same result in any
+                         SQL engine with md5), no 64-bit hash dialect issues
+  * lsh_candidate_pairs  band the signature (b bands x r rows), bucket-join
+                         on (band, band_hash): candidates share >=1 band
+  * ngram_jaccard_pairs  exact word-n-gram Jaccard via shingle self-join
+  * simhash              bit-majority fingerprint over token hashes (xxhash64
+                         bits; Hamming-close pairs via band buckets)
+
+Scale notes: shingle explosion multiplies rows by ~doc_len; the self-joins
+are banded (LSH) precisely so the full quadratic pair space is never
+materialized -- the exact-Jaccard verifier then runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, text_hash, rep_id, is_dup): rep = min doc_id per hash."""
+    h = docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+    rep = h.groupBy("text_hash").agg(F.min("doc_id").alias("rep_id"))
+    return h.join(rep, "text_hash").select(
+        "doc_id", "text_hash", "rep_id", (F.col("doc_id") != F.col("rep_id")).alias("is_dup")
+    )
+
+
+def char_shingles(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle): distinct sliding character k-grams."""
+    n = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.sequence(F.lit(1), n)).alias("_i"),
+            F.col(text_col).alias("_t"),
+        )
+        .select("doc_id", F.expr(f"substring(_t, _i, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, sig: array<string>): sig[i] = min over shingles of
+    md5(i || ':' || shingle). Lexicographic min over hex = a valid uniform
+    min-hash family, identical across engines."""
+    hashed = shingles.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    ).select(
+        "doc_id", "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    )
+    mins = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    return (
+        mins.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("_s"))
+        .select("doc_id", F.transform(F.col("_s"), lambda x: x["mh"]).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard): pairs sharing >=1 LSH band; estimate =
+    fraction of matching minhash positions."""
+    sig_len_df = signatures.select(F.size("sig").alias("_l")).limit(1).collect()
+    rows_per_band = (sig_len_df[0]["_l"] if sig_len_df else bands) // bands
+    banded = signatures.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc_id", "band",
+        F.md5(F.concat_ws("|", F.slice(
+            F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band
+        ))).alias("band_hash"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = signatures.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = signatures.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (
+                F.aggregate(
+                    F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+                    F.lit(0), lambda acc, x: acc + x,
+                ).cast("double") / F.size("_sa")
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, ngram): distinct word n-grams (whitespace tokenization)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    )
+    cnt = F.greatest(F.size("_toks") - (n - 1), F.lit(0))
+    return (
+        toks.select("doc_id", F.explode(F.sequence(F.lit(1), cnt)).alias("_i"), "_toks")
+        .select("doc_id",
+                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_i"), n)).alias("ngram"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, jaccard): exact word-n-gram Jaccard >= threshold.
+    Shingle self-join; at scale run AFTER lsh_candidate_pairs as verifier."""
+    grams = word_ngrams(docs, n, id_col, text_col)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "ngram")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "ngram")
+    inter = (
+        a.join(b, "ngram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    ja = sizes.select(F.col("doc_id").alias("doc_a"), F.col("_sz").alias("_za"))
+    jb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("_sz").alias("_zb"))
+    return (
+        inter.join(ja, "doc_a").join(jb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("_i") / (F.col("_za") + F.col("_zb") - F.col("_i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): bit-majority over xxhash64 of tokens.
+
+    Per token t and bit i: contribute +1 if bit i of xxhash64(t) set else -1;
+    fingerprint bit i = 1 iff the sum is positive. Explode is tokens x bits;
+    the groupBy combines map-side so the shuffle is |docs| x bits rows.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bitrows = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).select(
+        "doc_id", "bit",
+        F.when(F.shiftright("h", F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1).alias("v"),
+    )
+    votes = bitrows.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit")))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

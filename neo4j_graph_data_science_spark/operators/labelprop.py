@@ -1,0 +1,109 @@
+"""Label propagation.
+
+Reference: algo/src/main/java/org/neo4j/gds/labelpropagation/
+LabelPropagation.java:45. Semantics reproduced:
+
+  * init label = seed property if present else node id (GDS uses
+    maxSeedId + originalNodeId + 1, InitStep.java:61-77 -- an id-shift that
+    only relabels; we use the id directly and compare partitions)
+  * vote weight = relationshipWeight * nodeWeight(neighbor)
+    (ComputeStepConsumer.java:49-58)
+  * new label = argmax of summed vote weights, ties -> smaller label id
+    (ComputeStepConsumer.java:70-73)
+  * converged when no node changed label in a full pass; maxIterations=10
+    default (LabelPropagation.java:117-132, LabelPropagationBaseConfig.java:40-43)
+
+DELIBERATE DIVERGENCE: GDS runs batch-ASYNChronously (labels array shared
+across in-flight batches, ComputeStep.java:80-90), so its raw labels are
+concurrency-dependent; its own tests assert community partitions. This
+implementation is SYNCHRONOUS (one BSP superstep per pass) and therefore
+deterministic and reproducible across cluster sizes -- tests compare
+partitions vs GDS, plus exact labels vs the sync semantics.
+
+Spark plan per superstep: edges join labels on src -> groupBy(dst, label)
+sum(vote) -> window argmax (weight desc, label asc). Two shuffles, both
+map-side combined; the argmax window partitions by dst so it rides the
+groupBy's partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import DST, SRC, W, SparkGraph
+from ..plans.pregel import PregelConfig, PregelResult, prepare_edges, run_pregel
+
+
+@dataclass
+class LabelPropagationConfig:
+    max_iterations: int = 10
+    seed_property: str | None = None
+    node_weight_property: str | None = None
+    weighted: bool = False
+    undirected: bool = True
+    checkpoint_dir: str | None = None
+    run_id: str = "lpa"
+    partitions: int | None = None
+
+
+def label_propagation(
+    graph: SparkGraph, config: LabelPropagationConfig | None = None
+) -> PregelResult:
+    """Returns PregelResult with state (id, label)."""
+    cfg = config or LabelPropagationConfig()
+    e = graph.oriented_edges("UNDIRECTED" if cfg.undirected else "NATURAL")
+    edges = e.select(SRC, DST, W)
+    if cfg.node_weight_property:
+        nw = graph.nodes.select(
+            F.col("id").alias(SRC), F.col(cfg.node_weight_property).alias("_nw")
+        )
+        edges = edges.join(nw, SRC).withColumn(W, F.col(W) * F.col("_nw")).drop("_nw")
+    if not cfg.weighted and not cfg.node_weight_property:
+        edges = edges.withColumn(W, F.lit(1.0))
+    edges = prepare_edges(edges, cfg.partitions)
+
+    if cfg.seed_property:
+        state0 = graph.nodes.select(
+            "id", F.col(cfg.seed_property).cast("long").alias("label")
+        )
+    else:
+        state0 = graph.nodes.select("id", F.col("id").alias("label"))
+    state0 = state0.withColumn("changed", F.lit(True))
+
+    def superstep(state: DataFrame, it: int) -> DataFrame:
+        votes = (
+            edges.join(state.select(F.col("id").alias(SRC), "label"), SRC)
+            .groupBy(F.col(DST).alias("id"), "label")
+            .agg(F.sum(W).alias("_w"))
+        )
+        win = Window.partitionBy("id").orderBy(F.col("_w").desc(), F.col("label").asc())
+        best = (
+            votes.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("label").alias("_new"))
+        )
+        return (
+            state.select("id", F.col("label").alias("_old"))
+            .join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("_new", F.col("_old")).alias("label"),
+                (F.coalesce("_new", F.col("_old")) != F.col("_old")).alias("changed"),
+            )
+        )
+
+    def converged(old: DataFrame, new: DataFrame, it: int) -> bool:
+        return new.filter(F.col("changed")).limit(1).count() == 0
+
+    res = run_pregel(
+        state0, superstep, converged,
+        PregelConfig(cfg.max_iterations, 0.0, cfg.partitions,
+                     cfg.checkpoint_dir, 1, cfg.run_id),
+    )
+    res.state = res.state.select("id", "label")
+    edges.unpersist()
+    return res

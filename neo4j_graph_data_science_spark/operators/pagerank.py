@@ -1,0 +1,248 @@
+"""PageRank / ArticleRank / Eigenvector on the Pregel kernel.
+
+Reference semantics (algo/src/main/java/org/neo4j/gds/pagerank/
+PageRankComputation.java:70-101 + CentralityAlgorithms.java:254):
+
+  * init rank = alpha where alpha = 1 - dampingFactor (personalized: alpha
+    only on sourceNodes, InitialProbabilityFactory.java:33-56)
+  * per superstep: rank(v) <- alpha(v) + d * sum_{u->v} rank(u)/outdeg(u)
+    (weighted: message * w(u,v), degree = weighted out-degree,
+    DegreeFunctions.java:39-56)
+  * UNNORMALIZED formulation: converged ranks satisfy
+    r(v) = (1-d) + d*sum r(u)/deg(u); ranks sum to ~n, sink-only nodes sit
+    at exactly 1-d = 0.15 (PageRankTest.java:75-105).
+  * defaults dampingFactor=0.85, tolerance=1e-7, maxIterations=20
+    (PageRankConfig.java:27-29, RankConfig.java:39-47)
+  * convergence: all per-vertex deltas <= tolerance (vote-to-halt with a
+    Sum reducer, PageRankComputation.java:83-96). We run the SYNCHRONOUS
+    power iteration, which is the tolerance=0 limit of GDS's delta-push and
+    matches its fixture values to 1e-6 at convergence.
+  * iteration accounting: GDS's initial superstep only SENDS rank/degree
+    (compute() skips the update when isInitialSuperstep,
+    PageRankComputation.java:75-81), so ``maxIterations = N`` performs N-1
+    rank updates. We mirror that: the kernel runs max_iterations - 1
+    synchronous updates and reports GDS-style superstep counts.
+
+Spark plan per superstep: one join of the (V-row) rank state to the
+src-partitioned edge table + one combined groupBy(dst) shuffle -- the
+ReducingMessenger (see plans/pregel.py). Contributions rank/outdeg are
+precomputed into the state so the joined row emits a single multiply.
+
+ArticleRank (ArticleRankComputation.java): contribution divides by
+(outdeg + avgOutDeg) instead of outdeg.
+Eigenvector (EigenvectorComputation.java): power iteration with global L2
+normalization per superstep, init 1/sqrt(n), no damping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import DST, SRC, W, SparkGraph
+from ..plans.pregel import PregelConfig, PregelResult, prepare_edges, run_pregel
+
+
+@dataclass
+class PageRankConfig:
+    damping_factor: float = 0.85
+    max_iterations: int = 20
+    tolerance: float = 1e-7
+    weighted: bool = False
+    source_nodes: Optional[Sequence[int]] = None  # personalized
+    checkpoint_dir: str | None = None
+    run_id: str = "pagerank"
+    partitions: int | None = None
+
+
+def _out_degrees(edges: DataFrame) -> DataFrame:
+    """Weighted out-degree = sum of the aggregated edge weight column.
+
+    Unweighted graphs are projected with COUNT aggregation, so the weight
+    column carries parallel-edge multiplicity and sum(W) is the true
+    multigraph out-degree, exactly matching GDS's unweighted degree over a
+    multigraph (DegreeFunctions.java:39-56)."""
+    return edges.groupBy(F.col(SRC).alias("id")).agg(F.sum(W).alias("out_deg"))
+
+
+def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> PregelResult:
+    """Returns PregelResult whose state is (id, rank, delta)."""
+    cfg = config or PageRankConfig()
+    d = cfg.damping_factor
+    edges = prepare_edges(graph.aggregated_edges("SUM" if cfg.weighted else "COUNT"),
+                          cfg.partitions)
+    deg = _out_degrees(edges)
+    nodes = graph.nodes.select("id")
+
+    if cfg.source_nodes is not None:
+        srcs = set(int(s) for s in cfg.source_nodes)
+        alpha = F.when(F.col("id").isin(list(srcs)), F.lit(1.0 - d)).otherwise(F.lit(0.0))
+    else:
+        alpha = F.lit(1.0 - d)
+
+    # state: (id, rank, alpha, out_deg, contrib = rank/out_deg)
+    state0 = (
+        nodes.join(deg, "id", "left")
+        .select(
+            "id",
+            alpha.alias("rank"),
+            alpha.alias("alpha"),
+            F.coalesce("out_deg", F.lit(0.0)).alias("out_deg"),
+        )
+        .withColumn("delta", F.col("rank"))
+        .withColumn(
+            "contrib",
+            F.when(F.col("out_deg") > 0, F.col("rank") / F.col("out_deg")).otherwise(F.lit(0.0)),
+        )
+    )
+
+    # weight = multiplicity (COUNT agg) or summed weight (SUM agg)
+    msg_weight = F.col(W)
+
+    def superstep(state: DataFrame, it: int) -> DataFrame:
+        msgs = (
+            edges.join(state.select(F.col("id").alias(SRC), "contrib"), SRC)
+            .select(F.col(DST).alias("id"), (F.col("contrib") * msg_weight).alias("_m"))
+            .groupBy("id")
+            .agg(F.sum("_m").alias("msg"))
+        )
+        return (
+            state.join(msgs, "id", "left")
+            .select(
+                "id",
+                (F.col("alpha") + F.lit(d) * F.coalesce("msg", F.lit(0.0))).alias("rank"),
+                "alpha",
+                "out_deg",
+                F.abs(
+                    F.col("alpha") + F.lit(d) * F.coalesce("msg", F.lit(0.0)) - F.col("rank")
+                ).alias("delta"),
+            )
+            .withColumn(
+                "contrib",
+                F.when(F.col("out_deg") > 0, F.col("rank") / F.col("out_deg")).otherwise(F.lit(0.0)),
+            )
+        )
+
+    def converged(old: DataFrame, new: DataFrame, it: int) -> bool:
+        if cfg.tolerance <= 0:
+            return False
+        mx = new.agg(F.max("delta")).collect()[0][0]
+        return mx is not None and mx <= cfg.tolerance
+
+    res = run_pregel(
+        state0,
+        superstep,
+        converged,
+        PregelConfig(
+            max_iterations=max(cfg.max_iterations - 1, 0),  # GDS superstep 0 is send-only
+            tolerance=cfg.tolerance,
+            checkpoint_dir=cfg.checkpoint_dir,
+            run_id=cfg.run_id,
+            partitions=cfg.partitions,
+        ),
+    )
+    res.iterations += 1  # report GDS-style superstep count incl. initial send
+    res.state = res.state.select("id", F.col("rank").alias("score"))
+    edges.unpersist()
+    return res
+
+
+def article_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> PregelResult:
+    """ArticleRank: message = rank(u) / (outdeg(u) + avgOutDeg)
+    (reference ArticleRankComputation.java)."""
+    cfg = config or PageRankConfig()
+    d = cfg.damping_factor
+    edges = prepare_edges(graph.aggregated_edges("COUNT"), cfg.partitions)
+    deg = _out_degrees(edges)
+    nodes = graph.nodes.select("id")
+    n = nodes.count()
+    total_deg = edges.agg(F.sum(W)).collect()[0][0] or 0.0
+    avg_deg = total_deg / n if n else 0.0
+
+    state0 = (
+        nodes.join(deg, "id", "left")
+        .select("id", F.lit(1.0 - d).alias("rank"),
+                F.coalesce("out_deg", F.lit(0.0)).alias("out_deg"))
+        .withColumn("contrib", F.col("rank") / (F.col("out_deg") + F.lit(avg_deg)))
+        .withColumn("delta", F.col("rank"))
+    )
+
+    def superstep(state: DataFrame, it: int) -> DataFrame:
+        msgs = (
+            edges.join(state.select(F.col("id").alias(SRC), "contrib"), SRC)
+            .select(F.col(DST).alias("id"), (F.col("contrib") * F.col(W)).alias("_m"))
+            .groupBy("id")
+            .agg(F.sum("_m").alias("msg"))
+        )
+        return (
+            state.join(msgs, "id", "left")
+            .select(
+                "id",
+                (F.lit(1.0 - d) + F.lit(d) * F.coalesce("msg", F.lit(0.0))).alias("rank"),
+                "out_deg",
+                F.abs(F.lit(1.0 - d) + F.lit(d) * F.coalesce("msg", F.lit(0.0)) - F.col("rank")).alias("delta"),
+            )
+            .withColumn("contrib", F.col("rank") / (F.col("out_deg") + F.lit(avg_deg)))
+        )
+
+    def converged(old: DataFrame, new: DataFrame, it: int) -> bool:
+        if cfg.tolerance <= 0:
+            return False
+        mx = new.agg(F.max("delta")).collect()[0][0]
+        return mx is not None and mx <= cfg.tolerance
+
+    res = run_pregel(state0, superstep, converged,
+                     PregelConfig(cfg.max_iterations, cfg.tolerance, cfg.partitions,
+                                  cfg.checkpoint_dir, 1, cfg.run_id))
+    res.state = res.state.select("id", F.col("rank").alias("score"))
+    edges.unpersist()
+    return res
+
+
+def eigenvector(graph: SparkGraph, config: PageRankConfig | None = None) -> PregelResult:
+    """Eigenvector centrality: power iteration + per-superstep L2 normalize
+    (reference EigenvectorComputation.java)."""
+    cfg = config or PageRankConfig()
+    edges = prepare_edges(
+        graph.aggregated_edges("SUM" if cfg.weighted else "COUNT"), cfg.partitions
+    )
+    nodes = graph.nodes.select("id")
+    n = nodes.count()
+    init = 1.0 / (n ** 0.5) if n else 0.0
+    state0 = nodes.select("id", F.lit(init).alias("rank"), F.lit(1.0).alias("delta"))
+    msg_w = F.col(W)
+
+    def superstep(state: DataFrame, it: int) -> DataFrame:
+        msgs = (
+            edges.join(state.select(F.col("id").alias(SRC), "rank"), SRC)
+            .select(F.col(DST).alias("id"), (F.col("rank") * msg_w).alias("_m"))
+            .groupBy("id").agg(F.sum("_m").alias("msg"))
+        )
+        raw = nodes.join(msgs, "id", "left").select(
+            "id", F.coalesce("msg", F.lit(0.0)).alias("raw")
+        )
+        norm = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).collect()[0][0] or 1.0
+        return (
+            raw.join(state.select("id", F.col("rank").alias("_old")), "id")
+            .select(
+                "id",
+                (F.col("raw") / F.lit(norm)).alias("rank"),
+                F.abs(F.col("raw") / F.lit(norm) - F.col("_old")).alias("delta"),
+            )
+        )
+
+    def converged(old: DataFrame, new: DataFrame, it: int) -> bool:
+        if cfg.tolerance <= 0:
+            return False
+        mx = new.agg(F.max("delta")).collect()[0][0]
+        return mx is not None and mx <= cfg.tolerance
+
+    res = run_pregel(state0, superstep, converged,
+                     PregelConfig(cfg.max_iterations, cfg.tolerance, cfg.partitions,
+                                  cfg.checkpoint_dir, 1, cfg.run_id))
+    res.state = res.state.select("id", F.col("rank").alias("score"))
+    edges.unpersist()
+    return res

@@ -1,0 +1,107 @@
+"""Weakly connected components.
+
+Reference: algo/src/main/java/org/neo4j/gds/wcc/Wcc.java:54 -- parallel
+union-find with Union-by-Min ("the smaller community ID wins",
+HugeAtomicDisjointSetStruct.java:51,164-185), so the component id of an
+unseeded run is the MINIMUM internal node id of the component. The sampled
+Afforest strategy (SampledStrategy.java) is a shared-memory performance
+trick with identical output; it does not port to shuffles.
+
+Spark formulation: iterative min-label propagation over the UNDIRECTED
+edge view -- state comp(v) starts at v; each superstep
+comp(v) <- min(comp(v), min over neighbors comp(u)); fixpoint when no comp
+changed. Converges to min-member id == union-by-min output, exactly.
+Supports GDS options: ``threshold`` (only union edges with weight >
+threshold, UnsampledStrategy.java:139-168) and ``seed_property``
+(incremental seeding: comp starts from the seed column; components merge to
+the min seed).
+
+Scale: the min-reducer makes every superstep a map-side-combined shuffle of
+at most V rows; iteration count is the graph diameter. For high-diameter
+graphs at 10^9+ edges the large-star/small-star variant (Kiveris et al.,
+"Connected Components in MapReduce and Beyond") halves rounds; kept as
+``wcc_two_phase`` TODO for a later round -- plain min-propagation is exact
+and sufficient for the fixture/bench graphs here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import DST, SRC, W, SparkGraph
+from ..plans.pregel import PregelConfig, PregelResult, prepare_edges, run_pregel
+
+
+@dataclass
+class WccConfig:
+    max_iterations: int = 100
+    threshold: float | None = None      # union only if weight > threshold
+    seed_property: str | None = None    # nodes column carrying seed comp ids
+    checkpoint_dir: str | None = None
+    run_id: str = "wcc"
+    partitions: int | None = None
+    consecutive_ids: bool = False
+
+
+def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
+    """Returns PregelResult with state (id, component)."""
+    cfg = config or WccConfig()
+    e = graph.oriented_edges("UNDIRECTED")
+    if cfg.threshold is not None:
+        e = e.filter(F.col(W) > cfg.threshold)
+    edges = prepare_edges(e.select(SRC, DST).distinct(), cfg.partitions)
+
+    if cfg.seed_property:
+        state0 = graph.nodes.select(
+            "id", F.col(cfg.seed_property).cast("long").alias("comp")
+        )
+    else:
+        state0 = graph.nodes.select("id", F.col("id").alias("comp"))
+    state0 = state0.withColumn("changed", F.lit(True))
+
+    def superstep(state: DataFrame, it: int) -> DataFrame:
+        # only vertices whose comp changed last round need to re-broadcast it
+        active = state.filter(F.col("changed"))
+        msgs = (
+            edges.join(active.select(F.col("id").alias(SRC), "comp"), SRC)
+            .groupBy(F.col(DST).alias("id"))
+            .agg(F.min("comp").alias("msg"))
+        )
+        return (
+            state.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("msg", F.col("comp"))).alias("comp"),
+                (F.coalesce("msg", F.col("comp")) < F.col("comp")).alias("changed"),
+            )
+        )
+
+    def converged(old: DataFrame, new: DataFrame, it: int) -> bool:
+        return new.filter(F.col("changed")).limit(1).count() == 0
+
+    res = run_pregel(
+        state0, superstep, converged,
+        PregelConfig(cfg.max_iterations, 0.0, cfg.partitions,
+                     cfg.checkpoint_dir, 1, cfg.run_id),
+    )
+    comp = res.state.select("id", F.col("comp").alias("component"))
+    if cfg.consecutive_ids:
+        comp = consecutive_ids(comp, "component")
+    res.state = comp
+    edges.unpersist()
+    return res
+
+
+def consecutive_ids(df: DataFrame, col: str) -> DataFrame:
+    """GDS consecutiveIds post-processing (CommunityCompanion.java:44-110):
+    dense re-numbering of community ids in ascending id order."""
+    from pyspark.sql.window import Window
+
+    distinct = df.select(col).distinct()
+    ranks = distinct.withColumn(
+        "_new", (F.dense_rank().over(Window.orderBy(col)) - 1).cast("long")
+    )
+    return df.join(ranks, col).select("id", F.col("_new").alias(col))

@@ -1,0 +1,132 @@
+"""Loaders + graph derivations over the driver-provided parquet tables.
+
+The `events` table (event_id, ts, user_id, event_type, value, props) is the
+conversation-transcript analogue available to the DuckDB oracle:
+user_id ~ conv_id, ts-order ~ turn_idx, event_type ~ role/tool. The same
+edge-induction rules as sources/transcripts.py apply:
+
+  NEXT  consecutive events of one user (turn adjacency)
+  TYPE  consecutive events of one user sharing event_type (tool co-occurrence)
+  GROUP first event of user u -> first event of the next user in the same
+        (user_id % 50) cohort -- sparse cross-user links so WCC components
+        are non-trivial unions of user chains
+  LOOP  last event of a user -> its first event (closes each chain into a
+        cycle; used by the SCC query so components are non-trivial)
+
+Vertex id: dense row_number over (user_id, ts, event_id) - 1, mirroring the
+GDS ArrayIdMap sorted dense mapping. Every rule is a window function over
+the per-user ordering, so derivation costs one shuffle by user_id.
+
+The part co-occurrence graph (parts sharing an order, lineitem self-join)
+provides a triangle-rich undirected graph for triangle/LCC queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import DST, REL, SRC, W, SparkGraph
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def event_vertices(events: DataFrame) -> DataFrame:
+    """(event_id, user_id, event_type, id, rn): dense id + per-user rank."""
+    w_all = Window.orderBy("user_id", "ts", "event_id")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id", "user_id", "event_type",
+        (F.row_number().over(w_all) - 1).cast("long").alias("id"),
+        F.row_number().over(w_user).alias("rn"),
+    )
+
+
+def event_edges(events: DataFrame, group_mod: int = 50,
+                include_loop: bool = False) -> DataFrame:
+    """(src, dst, rel_type, weight) per the NEXT/TYPE/GROUP/LOOP rules."""
+    v = event_vertices(events)
+    w_user = Window.partitionBy("user_id").orderBy("rn")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("rn")
+
+    nxt = v.select(
+        F.col("id").alias(SRC), F.lead("id").over(w_user).alias(DST),
+        F.lit("NEXT").alias(REL), F.lit(1.0).alias(W),
+    ).filter(F.col(DST).isNotNull())
+
+    typ = v.select(
+        F.col("id").alias(SRC), F.lead("id").over(w_type).alias(DST),
+        F.lit("TYPE").alias(REL), F.lit(1.0).alias(W),
+    ).filter(F.col(DST).isNotNull())
+
+    firsts = v.filter(F.col("rn") == 1).select("user_id", "id")
+    w_grp = Window.partitionBy(F.col("user_id") % group_mod).orderBy("user_id")
+    grp = firsts.select(
+        F.col("id").alias(SRC), F.lead("id").over(w_grp).alias(DST),
+        F.lit("GROUP").alias(REL), F.lit(1.0).alias(W),
+    ).filter(F.col(DST).isNotNull())
+
+    out = nxt.unionByName(typ).unionByName(grp)
+    if include_loop:
+        loop = v.groupBy("user_id").agg(
+            F.max_by("id", "rn").alias(SRC), F.min_by("id", "rn").alias(DST)
+        ).select(SRC, DST, F.lit("LOOP").alias(REL), F.lit(1.0).alias(W))
+        out = out.unionByName(loop)
+    return out
+
+
+def events_graph(spark: SparkSession, sf_dir: str,
+                 rel_types: tuple[str, ...] = ("NEXT", "TYPE", "GROUP")) -> SparkGraph:
+    events = load(spark, sf_dir, "events")
+    v = event_vertices(events)
+    edges = event_edges(events, include_loop="LOOP" in rel_types).filter(
+        F.col(REL).isin(list(rel_types))
+    )
+    return SparkGraph(
+        nodes=v.select("id"), edges=edges,
+        id_map=v.select("id", "event_id"), name="events",
+    )
+
+
+def part_co_occurrence_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
+    """Undirected simple graph: parts co-occurring in an order (src < dst).
+
+    The lineitem self-join on l_orderkey is a co-located shuffle join; at
+    100 TB the order key is high-cardinality and unskewed, so AQE handles
+    it without salting.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", SRC)
+    b = li.withColumnRenamed("l_partkey", DST)
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col(SRC) < F.col(DST))
+        .select(SRC, DST)
+        .distinct()
+        .select(SRC, DST, F.lit("COOCCUR").alias(REL), F.lit(1.0).alias(W))
+    )
+    parts = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    return SparkGraph(nodes=parts, edges=pairs, name="part_cooccur")
+
+
+def customer_part_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, p_partkey) distinct purchase relationships -- the
+    neighbor sets for node-similarity queries."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
+        .distinct()
+    )

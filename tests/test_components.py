@@ -1,0 +1,95 @@
+"""WCC + SCC vs GDS golden fixtures.
+
+WCC graph: /root/reference/algo/src/test/java/org/neo4j/gds/wcc/
+WccTest.java:215-241,292-299 -- components compared as partitions
+(CommunityHelper.assertCommunities); with union-by-min semantics the
+component id equals the min internal member id.
+SCC graph: /root/reference/algo/src/test/java/org/neo4j/gds/scc/
+SccTest.java:46-101 -- three 3-cycles plus a bridge.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graph_data_science_spark import from_edge_list
+from neo4j_graph_data_science_spark.operators.scc import scc
+from neo4j_graph_data_science_spark.operators.wcc import WccConfig, consecutive_ids, wcc
+
+
+def partitions(rows, key="component"):
+    out = {}
+    for r in rows:
+        out.setdefault(r[key], set()).add(r["id"])
+    return sorted(out.values(), key=lambda s: min(s))
+
+
+# WCC fixture: a..j = 0..9; cycles a-b-c-d, e-f-g, h-i mutual, j isolated
+WCC_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 4), (8, 7), (7, 8)]
+WCC_EXPECTED = [{0, 1, 2, 3}, {4, 5, 6}, {7, 8}, {9}]
+
+
+@pytest.mark.parametrize("orientation", ["NATURAL", "REVERSE", "UNDIRECTED"])
+def test_wcc_fixture_all_orientations(spark, orientation):
+    g = from_edge_list(spark, WCC_EDGES, n_nodes=10, orientation=orientation)
+    res = wcc(g)
+    rows = res.state.collect()
+    assert partitions(rows) == WCC_EXPECTED
+    # union-by-min: component id == min member id
+    for r in rows:
+        comp_members = {x["id"] for x in rows if x["component"] == r["component"]}
+        assert r["component"] == min(comp_members)
+
+
+def test_wcc_consecutive_ids(spark):
+    g = from_edge_list(spark, WCC_EDGES, n_nodes=10)
+    res = wcc(g, WccConfig(consecutive_ids=True))
+    comps = sorted({r["component"] for r in res.state.collect()})
+    assert comps == [0, 1, 2, 3]
+
+
+def test_wcc_threshold(spark):
+    """Union only edges with weight > threshold (UnsampledStrategy.java:139-168)."""
+    edges = [(0, 1, 5.0), (1, 2, 0.1), (2, 3, 5.0)]
+    g = from_edge_list(spark, edges, n_nodes=4)
+    res = wcc(g, WccConfig(threshold=1.0))
+    assert partitions(res.state.collect()) == [{0, 1}, {2, 3}]
+
+
+def test_wcc_seeded(spark):
+    """Seeded components merge to the min seed (Wcc.java:101-106)."""
+    g = from_edge_list(spark, [(0, 1), (2, 3)], n_nodes=4)
+    seeded = g.nodes.select("id", (F.col("id") + 100).alias("seed"))
+    g.nodes = seeded
+    res = wcc(g, WccConfig(seed_property="seed"))
+    got = {r["id"]: r["component"] for r in res.state.collect()}
+    assert got == {0: 100, 1: 100, 2: 102, 3: 102}
+
+
+# SCC fixture: a..i = 0..8; three 3-cycles, bridge a->d
+SCC_EDGES = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3), (6, 7), (7, 8), (8, 6)]
+SCC_EXPECTED = [{0, 1, 2}, {3, 4, 5}, {6, 7, 8}]
+
+
+def test_scc_fixture(spark):
+    g = from_edge_list(spark, SCC_EDGES, n_nodes=9)
+    res = scc(g)
+    rows = res.collect()
+    assert partitions(rows) == SCC_EXPECTED
+    for r in rows:
+        members = {x["id"] for x in rows if x["component"] == r["component"]}
+        assert r["component"] == min(members)
+
+
+def test_scc_dag_all_singletons(spark):
+    g = from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (0, 3)], n_nodes=4)
+    rows = scc(g).collect()
+    assert partitions(rows) == [{0}, {1}, {2}, {3}]
+
+
+def test_scc_chain_into_cycle(spark):
+    """Trim phase peels the acyclic tail; cycle survives as one SCC."""
+    g = from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 2)], n_nodes=5)
+    rows = scc(g).collect()
+    assert partitions(rows) == [{0}, {1}, {2, 3, 4}]
