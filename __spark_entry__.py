@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (PageRank over the event-derived
+link graph at sf0.001). ``queries()`` exposes one callable per implemented
+operator from SURVEY.md section 2 (plus the training-data-pipeline set);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every query whose
+semantics are SQL-expressible (iterative algorithms are expressed as
+unrolled fixed-iteration CTEs or recursive closures).
+
+Float discipline: every double output column is rounded to 6 decimals in
+BOTH the Spark query and the oracle (5 for PageRank, whose 20 feedback
+iterations accumulate ~1e-9 cross-engine float drift), so the driver's
+value-hash is robust to summation-order differences between engines while
+still verifying ~1e-6 agreement (the north-rule PageRank tolerance).
 """
 
 from __future__ import annotations
@@ -12,27 +19,836 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_graph_data_science_spark.catalog import DST, REL, SRC, W, SparkGraph
+from neo4j_graph_data_science_spark.operators.ann import (
+    brute_force_topk,
+    cosine_near_duplicates,
+    lsh_topk,
+)
+from neo4j_graph_data_science_spark.operators.dedup import (
+    char_shingles,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from neo4j_graph_data_science_spark.operators.degree import degree_centrality
+from neo4j_graph_data_science_spark.operators.labelprop import (
+    LabelPropagationConfig,
+    label_propagation,
+)
+from neo4j_graph_data_science_spark.operators.pagerank import PageRankConfig, page_rank
+from neo4j_graph_data_science_spark.operators.paths import (
+    PathConfig,
+    bfs,
+    collapse_path,
+    topological_sort,
+)
+from neo4j_graph_data_science_spark.operators.scaling import scale_property
+from neo4j_graph_data_science_spark.operators.scc import SccConfig, scc
+from neo4j_graph_data_science_spark.operators.similarity import (
+    NodeSimilarityConfig,
+    node_similarity,
+)
+from neo4j_graph_data_science_spark.operators.textstats import (
+    fingerprint,
+    language_id,
+    quality_scores,
+    token_stats,
+    STOPWORDS,
+)
+from neo4j_graph_data_science_spark.operators.triangle import (
+    TriangleCountConfig,
+    local_clustering_coefficient,
+    triangle_count,
+    triangle_stream,
+)
+from neo4j_graph_data_science_spark.operators.wcc import WccConfig, wcc
+from neo4j_graph_data_science_spark.functions.linkprediction import (
+    link_prediction_scores,
+)
+from neo4j_graph_data_science_spark.sources.tables import (
+    event_edges,
+    event_vertices,
+    events_graph,
+    load,
+    part_co_occurrence_graph,
+    customer_part_bipartite,
+)
+from neo4j_graph_data_science_spark.sources.transcripts import transcript_graph
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (DuckDB oracle side)
+# --------------------------------------------------------------------------
+
+PR_ITERS = 20      # PageRank rank updates (GDS maxIterations=21 incl. send-only step)
+LPA_ITERS = 5      # synchronous LPA passes
+BFS_MAX_DEPTH = 30
+SCC_MAX_USERS = 60
+SCC_MAX_TURNS = 8
+
+
+def _ev_ctes(events_src: str = "events") -> str:
+    """Event-graph derivation CTEs: dense vertex ids + NEXT/TYPE/GROUP edges
+    (mirrors sources/tables.py event_vertices/event_edges exactly)."""
+    return f"""
+v AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (ORDER BY user_id, ts, event_id) - 1 AS id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM {events_src}
+),
+nodes AS (SELECT id FROM v),
+e_next AS (
+  SELECT src, dst FROM (
+    SELECT id AS src, lead(id) OVER (PARTITION BY user_id ORDER BY rn) AS dst FROM v
+  ) WHERE dst IS NOT NULL
+),
+e_type AS (
+  SELECT src, dst FROM (
+    SELECT id AS src, lead(id) OVER (PARTITION BY user_id, event_type ORDER BY rn) AS dst FROM v
+  ) WHERE dst IS NOT NULL
+),
+e_grp AS (
+  SELECT src, dst FROM (
+    SELECT id AS src, lead(id) OVER (PARTITION BY user_id % 50 ORDER BY user_id) AS dst
+    FROM v WHERE rn = 1
+  ) WHERE dst IS NOT NULL
+),
+raw_edges AS (
+  SELECT * FROM e_next UNION ALL SELECT * FROM e_type UNION ALL SELECT * FROM e_grp
+)"""
+
+
+_SCC_SUB = f"""
+events_sub AS (
+  SELECT event_id, ts, user_id, event_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn0
+    FROM events WHERE user_id < {SCC_MAX_USERS}
+  ) WHERE rn0 <= {SCC_MAX_TURNS}
+)"""
+
+_PART_CANON = """
+canon AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
+                  greatest(a.l_partkey, b.l_partkey) AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+pnodes AS (SELECT p_partkey AS id FROM part)"""
+
+_DOC_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL SELECT doc_id + 20000 AS doc_id, text || ' the end' AS text
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def _pagerank_sql() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        cur = f"r{i}"
+        steps.append(
+            f"""{cur} AS (
+  SELECT n.id, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT ew.dst AS id, sum({prev}.rank / ew.od * ew.w) AS s
+    FROM ew JOIN {prev} ON ew.src = {prev}.id GROUP BY ew.dst
+  ) m ON n.id = m.id
+)"""
+        )
+        prev = cur
+    return f"""WITH {_ev_ctes()},
+edges_agg AS (SELECT src, dst, count(*)::DOUBLE AS w FROM raw_edges GROUP BY src, dst),
+outdeg AS (SELECT src, sum(w) AS od FROM edges_agg GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w, o.od FROM edges_agg e JOIN outdeg o ON e.src = o.src),
+r0 AS (SELECT id, 0.15::DOUBLE AS rank FROM nodes),
+{",".join(steps)}
+SELECT id, round(rank, 5) AS score FROM {prev} ORDER BY id"""
+
+
+def _lpa_sql() -> str:
+    parts = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        parts.append(
+            f"""v{i} AS (
+  SELECT u.dst AS id, {prev}.label, count(*)::DOUBLE AS w
+  FROM und u JOIN {prev} ON u.src = {prev}.id GROUP BY u.dst, {prev}.label
+),
+b{i} AS (
+  SELECT id, label FROM (
+    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY w DESC, label ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+),
+l{i} AS (
+  SELECT n.id, coalesce(b{i}.label, {prev}.label) AS label
+  FROM nodes n LEFT JOIN b{i} ON n.id = b{i}.id JOIN {prev} ON n.id = {prev}.id
+)"""
+        )
+        prev = f"l{i}"
+    return f"""WITH {_ev_ctes()},
+und AS (SELECT src, dst FROM raw_edges UNION ALL SELECT dst AS src, src AS dst FROM raw_edges),
+l0 AS (SELECT id, id AS label FROM nodes),
+{",".join(parts)}
+SELECT id, label FROM {prev} ORDER BY id"""
+
+
+_WCC_CLOSURE = f"""WITH RECURSIVE {_ev_ctes()},
+edges_d AS (SELECT DISTINCT src, dst FROM raw_edges),
+und AS (SELECT src, dst FROM edges_d UNION SELECT dst AS src, src AS dst FROM edges_d),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.dst AS id, reach.r FROM reach JOIN und u ON reach.id = u.src
+),
+comp AS (SELECT id, min(r)::BIGINT AS component FROM reach GROUP BY id)"""
+
+
+# --------------------------------------------------------------------------
+# Spark-side helpers
+# --------------------------------------------------------------------------
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the end")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def _scc_subgraph(spark: SparkSession, sf_dir: str, include_loop: bool = True) -> SparkGraph:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < SCC_MAX_USERS)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sub = (
+        ev.withColumn("_rn0", F.row_number().over(w))
+        .filter(F.col("_rn0") <= SCC_MAX_TURNS)
+        .drop("_rn0")
+    )
+    v = event_vertices(sub)
+    edges = event_edges(sub, include_loop=include_loop)
+    if not include_loop:
+        edges = edges.filter(F.col(REL) != "LOOP")
+    return SparkGraph(nodes=v.select("id"), edges=edges, id_map=v.select("id", "event_id"))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = events_graph(spark, sf_dir)
+    return degree_centrality(g).select("id", "score")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = events_graph(spark, sf_dir)
+    res = page_rank(g, PageRankConfig(max_iterations=PR_ITERS + 1, tolerance=0.0))
+    return res.state.select("id", F.round("score", 5).alias("score"))
+
+
+def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = events_graph(spark, sf_dir)
+    return wcc(g, WccConfig()).state.select("id", "component")
+
+
+def q_wcc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = events_graph(spark, sf_dir)
+    comp = wcc(g, WccConfig()).state
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("component_count"),
+        F.min("size").alias("min_size"),
+        F.max("size").alias("max_size"),
+        F.round(F.avg("size"), 6).alias("mean_size"),
+        F.round(F.expr("percentile(size, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(size, 0.9)"), 6).alias("p90"),
+    )
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _scc_subgraph(spark, sf_dir, include_loop=True)
+    return scc(g, SccConfig()).select("id", "component")
+
+
+def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = events_graph(spark, sf_dir)
+    res = label_propagation(g, LabelPropagationConfig(max_iterations=LPA_ITERS))
+    return res.state.select("id", "label")
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = part_co_occurrence_graph(spark, sf_dir)
+    return triangle_count(g, TriangleCountConfig()).select("id", "triangles")
+
+
+def q_triangles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = part_co_occurrence_graph(spark, sf_dir)
+    per_node = triangle_count(g, TriangleCountConfig())
+    return per_node.agg(
+        (F.sum(F.when(F.col("triangles") >= 0, F.col("triangles")).otherwise(0)) / 3)
+        .cast("long")
+        .alias("triangles")
+    )
+
+
+def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = part_co_occurrence_graph(spark, sf_dir)
+    return local_clustering_coefficient(g).select("id", F.round("lcc", 6).alias("lcc"))
+
+
+def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adj = customer_part_bipartite(spark, sf_dir)
+    out = node_similarity(
+        adj, "c_custkey", "p_partkey", NodeSimilarityConfig(metric="jaccard", top_k=10)
+    )
+    return out.select("node1", "node2", F.round("similarity", 6).alias("similarity"))
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = events_graph(spark, sf_dir)
+    return bfs(g, [0], PathConfig(max_iterations=BFS_MAX_DEPTH)).select("id", "dist")
+
+
+def q_collapse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = events_graph(spark, sf_dir, rel_types=("NEXT",))
+    return collapse_path(g, ["NEXT", "NEXT"]).select(SRC, DST, "rel_type")
+
+
+def q_topo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return topological_sort(g).select("id", "level")
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = part_co_occurrence_graph(spark, sf_dir)
+    pairs = g.edges.filter(F.col(SRC) % 20 == 0).select(
+        F.col(SRC).alias("node1"), F.col(DST).alias("node2")
+    )
+    out = link_prediction_scores(g, pairs)
+    return out.select(
+        "node1",
+        "node2",
+        "common_neighbors",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        "preferential_attachment",
+        "total_neighbors",
+    )
+
+
+def q_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    mm = scale_property(part, "p_retailprice", "minmax", "p_partkey", "retail_minmax")
+    ss = scale_property(part, "p_retailprice", "stdscore", "p_partkey", "retail_stdscore")
+    lg = scale_property(part, "p_retailprice", "log", "p_partkey", "retail_log")
+    l2 = scale_property(part, "p_retailprice", "l2norm", "p_partkey", "retail_l2")
+    out = mm.join(ss, "id").join(lg, "id").join(l2, "id")
+    return out.select(
+        "id",
+        F.round("retail_minmax", 6).alias("retail_minmax"),
+        F.round("retail_stdscore", 6).alias("retail_stdscore"),
+        F.round("retail_log", 6).alias("retail_log"),
+        F.round("retail_l2", 6).alias("retail_l2"),
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doc_corpus(spark, sf_dir)
+    return exact_dedup(corpus).select("doc_id", "text_hash", "rep_id", "is_dup")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doc_corpus(spark, sf_dir)
+    sh = char_shingles(corpus, k=5)
+    sig = minhash_signatures(sh, num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, bands=4)
+    return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doc_corpus(spark, sf_dir)
+    out = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = token_stats(docs)
+    return out.select(
+        "doc_id", "n_tokens", "n_chars",
+        F.round("avg_token_len", 6).alias("avg_token_len"), "n_subtokens",
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return quality_scores(docs).select(
+        "doc_id", "stopword_ratio", "punct_ratio", "upper_ratio", "quality"
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred", "lang_score")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 25)
+    out = brute_force_topk(emb, queries_df, k=10)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = cosine_near_duplicates(emb, threshold=-2.0)  # filter on rounded value below
+    return out.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.45)
+
+
+def q_vector_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.functions.vector import (
+        cosine, dot, euclidean_distance,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 99).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va")
+    )
+    b = emb.select((F.col("vec_id") - 1).alias("vec_a"), F.col("embedding").alias("_vb"))
+    pairs = a.join(b, "vec_a")
+    return pairs.select(
+        "vec_a",
+        (F.col("vec_a") + 1).alias("vec_b"),
+        F.round(dot(F.col("_va"), F.col("_vb")), 6).alias("dot"),
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        F.round(euclidean_distance(F.col("_va"), F.col("_vb")), 6).alias("euclidean"),
+    )
+
+
+# ---- rows-only queries (no SQL-expressible oracle) ------------------------
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries_df, k=5, n_planes=8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def q_transcript_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = transcript_graph(spark, n_convs=60, seed=42, max_turns=30)
+    res = page_rank(g, PageRankConfig(max_iterations=15, tolerance=1e-7))
+    return g.to_original_ids(res.state).select(
+        "conv_id", "turn_idx", F.round("score", 6).alias("score")
+    )
+
+
+def q_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return triangle_stream(g).select("node_a", "node_b", "node_c")
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the event-derived link graph at sf0.001,
+    joined back to original event ids."""
+    sf_dir = "/root/testdata/sf0.001"
+    g = events_graph(spark, sf_dir)
+    res = page_rank(g, PageRankConfig(max_iterations=20, tolerance=1e-7))
+    return g.to_original_ids(res.state).select(
+        "event_id", F.round("score", 6).alias("score")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "degree_events": q_degree,
+        "pagerank_events": q_pagerank,
+        "wcc_events": q_wcc,
+        "wcc_stats": q_wcc_stats,
+        "scc_events": q_scc,
+        "lpa_events": q_lpa,
+        "triangles_parts": q_triangles,
+        "triangles_global": q_triangles_global,
+        "lcc_parts": q_lcc,
+        "node_similarity_customers": q_node_similarity,
+        "bfs_events": q_bfs,
+        "collapse_path_events": q_collapse_path,
+        "topo_levels_events": q_topo,
+        "link_prediction_parts": q_link_prediction,
+        "scale_part_price": q_scale,
+        "exact_dedup_docs": q_exact_dedup,
+        "minhash_lsh_docs": q_minhash_lsh,
+        "ngram_jaccard_docs": q_ngram_jaccard,
+        "token_stats_docs": q_token_stats,
+        "quality_docs": q_quality,
+        "language_id_docs": q_language_id,
+        "fingerprint_docs": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "cosine_near_dup": q_cosine_near_dup,
+        "vector_sims": q_vector_sims,
+        # rows-only (non-SQL-expressible or Spark-dialect hashes)
+        "ann_lsh_topk": q_ann_lsh,
+        "simhash_docs": q_simhash,
+        "transcript_pagerank": q_transcript_pagerank,
+        "triangle_stream_events": q_triangle_stream,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ev = _ev_ctes()
+    sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
+
+    lang_hits = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, '{lang}' AS lang_cand,
+       sum(CASE WHEN tok IN ({words}) THEN 1 ELSE 0 END)::DOUBLE / count(*) AS ratio
+FROM toks_f GROUP BY doc_id"""
+        for lang, words in sw.items()
+    )
+
+    return {
+        "degree_events": f"""WITH {ev}
+SELECT n.id, coalesce(d.score, 0.0) AS score
+FROM nodes n LEFT JOIN (
+  SELECT src AS id, count(*)::DOUBLE AS score FROM raw_edges GROUP BY src
+) d ON n.id = d.id ORDER BY n.id""",
+        "pagerank_events": _pagerank_sql(),
+        "wcc_events": f"""{_WCC_CLOSURE}
+SELECT id, component FROM comp ORDER BY id""",
+        "wcc_stats": f"""{_WCC_CLOSURE},
+sizes AS (SELECT component, count(*) AS size FROM comp GROUP BY component)
+SELECT count(*)::BIGINT AS component_count,
+       min(size)::BIGINT AS min_size,
+       max(size)::BIGINT AS max_size,
+       round(avg(size), 6) AS mean_size,
+       round(quantile_cont(size, 0.5), 6) AS p50,
+       round(quantile_cont(size, 0.9), 6) AS p90
+FROM sizes""",
+        "scc_events": f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+e_loop AS (
+  SELECT arg_max(id, rn) AS src, arg_min(id, rn) AS dst FROM v GROUP BY user_id
+),
+all_edges AS (SELECT * FROM raw_edges UNION ALL SELECT * FROM e_loop),
+edges_d AS (SELECT DISTINCT src, dst FROM all_edges WHERE src <> dst),
+reach(a, b) AS (
+  SELECT id AS a, id AS b FROM nodes
+  UNION
+  SELECT reach.a, e.dst AS b FROM reach JOIN edges_d e ON reach.b = e.src
+)
+SELECT r1.a AS id, min(r1.b)::BIGINT AS component
+FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+GROUP BY r1.a ORDER BY id""",
+        "lpa_events": _lpa_sql(),
+        "triangles_parts": f"""WITH {_PART_CANON},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
+  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id)
+SELECT n.id, coalesce(c.triangles, 0)::BIGINT AS triangles
+FROM pnodes n LEFT JOIN cnt c ON n.id = c.id ORDER BY n.id""",
+        "triangles_global": f"""WITH {_PART_CANON}
+SELECT count(*)::BIGINT AS triangles
+FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
+JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+        "lcc_parts": f"""WITH {_PART_CANON},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
+  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id),
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT src AS id FROM canon UNION ALL SELECT dst FROM canon
+  ) GROUP BY id
+)
+SELECT n.id,
+       round(CASE WHEN coalesce(d.deg, 0) < 2 THEN 0.0
+                  ELSE 2.0 * coalesce(c.triangles, 0) / (d.deg * (d.deg - 1)) END, 6) AS lcc
+FROM pnodes n LEFT JOIN cnt c ON n.id = c.id LEFT JOIN deg d ON n.id = d.id
+ORDER BY n.id""",
+        "node_similarity_customers": """WITH adj AS (
+  SELECT DISTINCT o.o_custkey AS n, l.l_partkey AS nb
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+inter AS (
+  SELECT a.n AS node1, b.n AS node2, count(*) AS i
+  FROM adj a JOIN adj b ON a.nb = b.nb AND a.n <> b.n
+  GROUP BY a.n, b.n
+),
+paired AS (
+  SELECT node1, node2, i / (d1.deg + d2.deg - i) AS similarity
+  FROM inter JOIN deg d1 ON node1 = d1.n JOIN deg d2 ON node2 = d2.n
+)
+SELECT node1, node2, round(similarity, 6) AS similarity FROM (
+  SELECT *, row_number() OVER (PARTITION BY node1 ORDER BY similarity DESC, node2 ASC) AS rn
+  FROM paired
+) WHERE rn <= 10 ORDER BY node1, node2""",
+        "bfs_events": f"""WITH RECURSIVE {ev},
+edges_d AS (SELECT DISTINCT src, dst FROM raw_edges),
+r(id, d) AS (
+  SELECT 0::BIGINT AS id, 0 AS d
+  UNION
+  SELECT e.dst AS id, r.d + 1 AS d FROM r JOIN edges_d e ON r.id = e.src
+  WHERE r.d < {BFS_MAX_DEPTH}
+)
+SELECT id, min(d)::BIGINT AS dist FROM r GROUP BY id ORDER BY id""",
+        "collapse_path_events": f"""WITH {ev}
+SELECT DISTINCT e1.src AS src, e2.dst AS dst, 'COLLAPSED' AS rel_type
+FROM e_next e1 JOIN e_next e2 ON e1.dst = e2.src ORDER BY src, dst""",
+        "topo_levels_events": f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+edges_d AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+p(id, d) AS (
+  SELECT id, 0 AS d FROM nodes WHERE id NOT IN (SELECT dst FROM edges_d)
+  UNION
+  SELECT e.dst AS id, p.d + 1 AS d FROM p JOIN edges_d e ON p.id = e.src
+)
+SELECT id, max(d)::BIGINT AS level FROM p GROUP BY id ORDER BY id""",
+        "link_prediction_parts": f"""WITH {_PART_CANON},
+pairs AS (SELECT src AS node1, dst AS node2 FROM canon WHERE src % 20 = 0),
+adj AS (
+  SELECT src AS n, dst AS nb FROM canon UNION SELECT dst, src FROM canon
+),
+deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+common AS (
+  SELECT p.node1, p.node2,
+         count(*) AS cn,
+         sum(CASE WHEN dw.deg > 1 THEN 1.0 / ln(dw.deg) ELSE 0.0 END) AS aa,
+         sum(1.0 / dw.deg) AS ra
+  FROM pairs p
+  JOIN adj a1 ON a1.n = p.node1
+  JOIN adj a2 ON a2.n = p.node2 AND a2.nb = a1.nb
+  JOIN deg dw ON dw.n = a1.nb
+  GROUP BY p.node1, p.node2
+)
+SELECT p.node1, p.node2,
+       coalesce(c.cn, 0)::BIGINT AS common_neighbors,
+       round(coalesce(c.aa, 0.0), 6) AS adamic_adar,
+       round(coalesce(c.ra, 0.0), 6) AS resource_allocation,
+       (coalesce(d1.deg, 0) * coalesce(d2.deg, 0))::BIGINT AS preferential_attachment,
+       (coalesce(d1.deg, 0) + coalesce(d2.deg, 0) - coalesce(c.cn, 0))::BIGINT AS total_neighbors
+FROM pairs p
+LEFT JOIN common c ON p.node1 = c.node1 AND p.node2 = c.node2
+LEFT JOIN deg d1 ON p.node1 = d1.n
+LEFT JOIN deg d2 ON p.node2 = d2.n
+ORDER BY p.node1, p.node2""",
+        "scale_part_price": """WITH s AS (
+  SELECT min(p_retailprice) AS mn, max(p_retailprice) AS mx,
+         avg(p_retailprice) AS av, sum(p_retailprice) AS sm,
+         sum(p_retailprice * p_retailprice) AS sq, count(p_retailprice) AS n
+  FROM part
+)
+SELECT p_partkey AS id,
+       round((p_retailprice - s.mn) / (s.mx - s.mn), 6) AS retail_minmax,
+       round((p_retailprice - s.av) / sqrt((s.sq - s.av * s.sm) / s.n), 6) AS retail_stdscore,
+       round(ln(p_retailprice), 6) AS retail_log,
+       round(p_retailprice / sqrt(s.sq), 6) AS retail_l2
+FROM part, s ORDER BY id""",
+        "exact_dedup_docs": f"""WITH {_DOC_CORPUS},
+h AS (SELECT doc_id, md5(text) AS text_hash FROM corpus),
+rep AS (SELECT text_hash, min(doc_id) AS rep_id FROM h GROUP BY text_hash)
+SELECT h.doc_id, h.text_hash, rep.rep_id, h.doc_id <> rep.rep_id AS is_dup
+FROM h JOIN rep ON h.text_hash = rep.text_hash ORDER BY h.doc_id""",
+        "minhash_lsh_docs": f"""WITH {_DOC_CORPUS},
+shingles AS (
+  SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
+  FROM corpus, unnest(generate_series(1, greatest(length(text) - 4, 1))) t(i)
+),
+hashed AS (
+  SELECT doc_id, seed, md5(seed::VARCHAR || ':' || shingle) AS h
+  FROM shingles, unnest(generate_series(0, 15)) s(seed)
+),
+mins AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed),
+sigs AS (SELECT doc_id, array_agg(mh ORDER BY seed) AS sig FROM mins GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), '|')) AS band_hash
+  FROM sigs, unnest(generate_series(0, 3)) b(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)::DOUBLE / 16 AS est_jaccard
+  FROM cand c JOIN sigs sa ON c.doc_a = sa.doc_id JOIN sigs sb ON c.doc_b = sb.doc_id,
+       unnest(generate_series(1, 16)) t(i)
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard FROM est ORDER BY doc_a, doc_b""",
+        "ngram_jaccard_docs": f"""WITH {_DOC_CORPUS},
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 2), ' ') AS ngram
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+  SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j
+WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+        "token_stats_docs": """SELECT doc_id,
+  (CASE WHEN trim(text) = '' THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+  length(text)::BIGINT AS n_chars,
+  CASE WHEN trim(text) = '' THEN 0.0
+       ELSE round(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                          x -> length(x)))::DOUBLE
+                  / len(regexp_split_to_array(trim(text), '\\s+')), 6) END AS avg_token_len,
+  (len(regexp_extract_all(trim(text), '[a-zA-Z0-9]+'))
+   + len(regexp_extract_all(trim(text), '[^a-zA-Z0-9\\s]+')))::BIGINT AS n_subtokens
+FROM documents ORDER BY doc_id""",
+        "quality_docs": f"""WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS tk,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nupper,
+         greatest(length(text), 1) AS chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(tk) AS n_toks,
+         len(list_filter(tk, x -> x IN ({sw['en']}))) AS stop_hits,
+         punct, nupper, chars
+  FROM base
+),
+r AS (
+  SELECT doc_id,
+         stop_hits::DOUBLE / greatest(n_toks, 1) AS sr,
+         punct::DOUBLE / chars AS pr,
+         nupper::DOUBLE / chars AS ur,
+         n_toks
+  FROM m
+)
+SELECT doc_id,
+       round(sr, 6) AS stopword_ratio,
+       round(pr, 6) AS punct_ratio,
+       round(ur, 6) AS upper_ratio,
+       round(CASE WHEN n_toks < 5 THEN 0.0
+                  ELSE least(1.0, n_toks / 100.0) * (1.0 - pr) * (0.5 + sr) END, 6) AS quality
+FROM r ORDER BY doc_id""",
+        "language_id_docs": f"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+toks_f AS (SELECT * FROM toks WHERE tok <> ''),
+hits AS (
+{lang_hits}
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ratio DESC, lang_cand ASC) AS rn
+  FROM hits
+)
+SELECT doc_id,
+       CASE WHEN ratio > 0 THEN lang_cand ELSE 'und' END AS lang_pred,
+       round(ratio, 6) AS lang_score
+FROM best WHERE rn = 1 ORDER BY doc_id""",
+        "fingerprint_docs": """SELECT doc_id,
+       md5(array_to_string(regexp_split_to_array(trim(text), '\\s+'), chr(1))) AS fingerprint
+FROM documents ORDER BY doc_id""",
+        "ann_topk": """WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 25
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+dots AS (
+  SELECT query_id, neighbor_id,
+         sum(qv[i] * cv[i]) AS dp,
+         sum(qv[i] * qv[i]) AS na,
+         sum(cv[i] * cv[i]) AS nb
+  FROM q, c, unnest(generate_series(1, 64)) t(i)
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, dp / (sqrt(na) * sqrt(nb)) AS cosine FROM dots
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 10 ORDER BY query_id, neighbor_id""",
+        "cosine_near_dup": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         sum(a.v[i] * b.v[i]) AS dp,
+         sum(a.v[i] * a.v[i]) AS na,
+         sum(b.v[i] * b.v[i]) AS nb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id,
+       unnest(generate_series(1, 64)) t(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT vec_a, vec_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
+FROM dots WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.45 ORDER BY vec_a, vec_b""",
+        "vector_sims": """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id < 99
+),
+d AS (
+  SELECT vec_a, vec_b,
+         sum(va[i] * vb[i]) AS dp,
+         sum(va[i] * va[i]) AS na,
+         sum(vb[i] * vb[i]) AS nb,
+         sum((va[i] - vb[i]) * (va[i] - vb[i])) AS sq
+  FROM pairs, unnest(generate_series(1, 64)) t(i)
+  GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b,
+       round(dp, 6) AS dot,
+       round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine,
+       round(sqrt(sq), 6) AS euclidean
+FROM d ORDER BY vec_a""",
+    }

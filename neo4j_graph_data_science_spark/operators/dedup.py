@@ -170,13 +170,12 @@ def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id",
         F.col("h"),
     ).select(
         "doc_id", "bit",
-        F.when(F.shiftright("h", F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1)
-        .otherwise(-1).alias("v"),
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("v"),
     )
     votes = bitrows.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
     return votes.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit")))
+            F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << bit"))
             .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )

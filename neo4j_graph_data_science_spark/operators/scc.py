@@ -77,8 +77,11 @@ def _min_propagate(edges: DataFrame, nodes: DataFrame, reverse: bool,
 def scc(graph: SparkGraph, config: SccConfig | None = None) -> DataFrame:
     """Returns (id, component) with component = min member id (exact)."""
     cfg = config or SccConfig()
-    all_edges = graph.edges.select(SRC, DST).distinct().persist()
-    remaining = graph.nodes.select("id").persist()
+    # localCheckpoint (not persist) everywhere: each round's plan references
+    # the previous round's DFs multiple times, so only true lineage
+    # truncation keeps Catalyst analysis O(1) per round.
+    all_edges = graph.edges.select(SRC, DST).distinct().localCheckpoint(eager=True)
+    remaining = graph.nodes.select("id").localCheckpoint(eager=True)
     assigned_parts: list[DataFrame] = []
 
     for _ in range(cfg.max_outer_rounds):
@@ -88,32 +91,28 @@ def scc(graph: SparkGraph, config: SccConfig | None = None) -> DataFrame:
             all_edges.join(remaining.withColumnRenamed("id", SRC), SRC, "left_semi")
             .join(remaining.withColumnRenamed("id", DST), DST, "left_semi")
             .filter(F.col(SRC) != F.col(DST))
+            .localCheckpoint(eager=True)
         )
         # ---- TRIM: peel zero in/out degree vertices (singleton SCCs) ----
         while True:
-            e = e.persist(); e.count()
             with_out = e.select(F.col(SRC).alias("id")).distinct()
             with_in = e.select(F.col(DST).alias("id")).distinct()
-            on_cycle_candidates = with_out.join(with_in, "id", "inner").persist()
-            trimmed = remaining.join(on_cycle_candidates, "id", "left_anti")
-            n_trim = trimmed.limit(1).count()
-            if n_trim == 0:
-                on_cycle_candidates.unpersist()
+            on_cycle = with_out.join(with_in, "id", "inner") \
+                .localCheckpoint(eager=True)
+            trimmed = remaining.join(on_cycle, "id", "left_anti") \
+                .localCheckpoint(eager=True)
+            if trimmed.count() == 0:
                 break
             assigned_parts.append(
                 trimmed.select("id", F.col("id").alias("component"))
             )
-            new_remaining = remaining.join(on_cycle_candidates, "id", "inner").persist()
-            new_remaining.count()
-            remaining.unpersist()
-            remaining = new_remaining
-            e_old = e
+            remaining = remaining.join(on_cycle, "id", "inner") \
+                .localCheckpoint(eager=True)
             e = (
                 e.join(remaining.withColumnRenamed("id", SRC), SRC, "left_semi")
                 .join(remaining.withColumnRenamed("id", DST), DST, "left_semi")
+                .localCheckpoint(eager=True)
             )
-            e_old.unpersist()
-            on_cycle_candidates.unpersist()
         if remaining.limit(1).count() == 0:
             break
         # ---- peel: forward/backward min labels over remaining subgraph ----
@@ -125,13 +124,10 @@ def scc(graph: SparkGraph, config: SccConfig | None = None) -> DataFrame:
         )
         done = both.filter(F.col("f") == F.col("b")).select(
             "id", F.col("f").alias("component")
-        ).persist()
-        done.count()
+        ).localCheckpoint(eager=True)
         assigned_parts.append(done)
-        new_remaining = remaining.join(done, "id", "left_anti").persist()
-        new_remaining.count()
-        remaining.unpersist()
-        remaining = new_remaining
+        remaining = remaining.join(done, "id", "left_anti") \
+            .localCheckpoint(eager=True)
         ep.unpersist()
 
     out = assigned_parts[0] if assigned_parts else graph.nodes.select(
@@ -139,5 +135,4 @@ def scc(graph: SparkGraph, config: SccConfig | None = None) -> DataFrame:
     ).limit(0)
     for p in assigned_parts[1:]:
         out = out.unionByName(p)
-    all_edges.unpersist()
     return out

@@ -34,11 +34,11 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     punctuation runs)."""
     t = F.trim(F.col(text_col))
     toks = F.split(t, r"\s+")
-    bpe_ish = F.size(
-        F.filter(
-            F.split(t, r"(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\s])|(?<=[^a-zA-Z0-9\s])(?=[a-zA-Z0-9])|\s+"),
-            lambda x: x != "",
-        )
+    # BPE-ish subtoken proxy: maximal alnum runs + maximal punctuation runs.
+    # regexp_extract_all (not lookarounds) so the semantics are portable to
+    # RE2-based engines (DuckDB oracle) and stay in codegen.
+    bpe_ish = F.size(F.regexp_extract_all(t, F.lit(r"[a-zA-Z0-9]+"), 0)) + F.size(
+        F.regexp_extract_all(t, F.lit(r"[^a-zA-Z0-9\s]+"), 0)
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -109,10 +109,22 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, fingerprint): order-sensitive rolling document hash --
-    xxhash64 chained over token-position pairs (a distributed analogue of a
-    rolling hash; stable under partitioning because it aggregates a
-    position-keyed hash, not stream order)."""
+    """(doc_id, fingerprint): order-sensitive, whitespace-normalized document
+    fingerprint = md5 over the token sequence joined with an unprintable
+    separator. Row-local (no shuffle), codegen'd, and engine-portable (md5 is
+    identical in any SQL engine), unlike a 64-bit hash dialect."""
+    t = F.trim(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(F.split(t, r"\s+"), "\x01")).alias("fingerprint"),
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint): position-keyed rolling 64-bit hash
+    (xxhash64 over (pos, token), summed, re-hashed). Order-sensitive and
+    partition-stable; Spark-only dialect (no SQL oracle)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),

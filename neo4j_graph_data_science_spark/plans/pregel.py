@@ -60,8 +60,10 @@ class PregelConfig:
     run_id: str = "run"
     track_metrics: bool = True
     # truncate Spark lineage every k supersteps (localCheckpoint) -- without
-    # this, iterative plans grow linearly and Catalyst analysis time blows up
-    truncate_every: int = 5
+    # this, iterative plans grow (and superstep plans that reference the
+    # state twice, e.g. WCC pointer jumping, grow 2^k-fold) and Catalyst
+    # analysis time blows up
+    truncate_every: int = 2
 
 
 @dataclass

@@ -58,10 +58,11 @@ def synthesize_transcripts(
     role = F.element_at(
         F.array(*[F.lit(r) for r in ROLES]), (th % len(ROLES) + 1).cast("int")
     )
+    th2 = F.abs(F.xxhash64(F.col("conv"), F.col("turn_idx"), F.lit(seed * 2 + 1)))
     tool = F.when(
         (th % 3) == 0,
         F.element_at(
-            F.array(*[F.lit(t) for t in TOOLS]), ((th // 7) % len(TOOLS) + 1).cast("int")
+            F.array(*[F.lit(t) for t in TOOLS]), (th2 % len(TOOLS) + 1).cast("int")
         ),
     ).otherwise(F.lit(None).cast("string"))
     conv_id = F.format_string("conv_%06d", F.col("conv"))

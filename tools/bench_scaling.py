@@ -1,0 +1,91 @@
+"""Two-parallelism scaling evidence for the north rule (N vs 4N).
+
+No real multi-executor cluster exists in this sandbox, so the rule's
+"N -> 4N executors, efficiency >= 0.8" criterion is evidenced by running the
+SAME job on the SAME deterministic input at two local parallelism levels
+(cores P and 4P), each in its own JVM (subprocess), and reporting
+throughput at both plus efficiency = throughput(4P) / (4 * throughput(P)).
+
+Job: PageRank supersteps over a synthesized transcript-derived edge graph
+(seed-fixed, identical at both levels). Throughput = edges processed per
+second per superstep, the BASELINE.json north-star metric.
+
+Usage: python tools/bench_scaling.py [--pairs 8,32 2,8] [--convs 60000]
+Writes results to stdout (JSON) for inclusion in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+cpus, n_convs = int(sys.argv[1]), int(sys.argv[2])
+from neo4j_graph_data_science_spark.session import get_spark
+from neo4j_graph_data_science_spark.sources.transcripts import transcript_graph
+from neo4j_graph_data_science_spark.operators.pagerank import PageRankConfig, page_rank
+
+spark = get_spark("scale_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+g = transcript_graph(spark, n_convs=n_convs, seed=42, max_turns=40)
+edges = g.edges
+n_edges = edges.count()
+# warmup: one full run at 3 supersteps to JIT/plan-cache
+page_rank(g, PageRankConfig(max_iterations=3, tolerance=0.0)).state.count()
+t0 = time.time()
+res = page_rank(g, PageRankConfig(max_iterations=9, tolerance=0.0))
+res.state.count()
+wall = time.time() - t0
+supersteps = res.iterations
+print(json.dumps({
+    "cpus": cpus, "edges": n_edges, "supersteps": supersteps,
+    "wall_s": round(wall, 3),
+    "edges_per_sec_per_superstep": round(n_edges * supersteps / wall, 1),
+}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, n_convs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cpus), str(n_convs)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", nargs="*", default=["8,32"],
+                    help="comma pairs of core counts, e.g. 8,32 2,8")
+    ap.add_argument("--convs", type=int, default=60000)
+    args = ap.parse_args()
+
+    results = []
+    for pair in args.pairs:
+        lo, hi = (int(x) for x in pair.split(","))
+        r_lo = run_level(lo, args.convs)
+        print(f"  local[{lo}]: {r_lo}", file=sys.stderr, flush=True)
+        r_hi = run_level(hi, args.convs)
+        print(f"  local[{hi}]: {r_hi}", file=sys.stderr, flush=True)
+        ratio = hi / lo
+        eff = (r_hi["edges_per_sec_per_superstep"]
+               / (ratio * r_lo["edges_per_sec_per_superstep"]))
+        results.append({
+            "N_cores": lo, "xN_cores": hi, "core_ratio": ratio,
+            "throughput_N": r_lo["edges_per_sec_per_superstep"],
+            "throughput_xN": r_hi["edges_per_sec_per_superstep"],
+            "speedup": round(r_hi["edges_per_sec_per_superstep"]
+                             / r_lo["edges_per_sec_per_superstep"], 3),
+            "scaling_efficiency": round(eff, 3),
+            "edges": r_lo["edges"], "supersteps": r_lo["supersteps"],
+        })
+    print(json.dumps({"scaling": results}))
+
+
+if __name__ == "__main__":
+    main()
