@@ -54,20 +54,24 @@ def char_shingles(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     """(doc_id, sig: array<string>): sig[i] = min over shingles of
     md5(i || ':' || shingle). Lexicographic min over hex = a valid uniform
-    min-hash family, identical across engines."""
-    hashed = shingles.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        F.col("shingle"),
-    ).select(
-        "doc_id", "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    min-hash family, identical across engines.
+
+    Execution shape: all k hashes are computed IN-ROW (k md5 columns per
+    shingle row) and reduced with k min-aggregates in ONE groupBy(doc_id) --
+    no k-fold explode, no (doc_id, seed) shuffle. The shuffle carries
+    |docs| x k strings after map-side combine instead of |shingles| x k
+    rows; at 100 TB that is the difference between a combiner-friendly
+    single pass and a k-times-larger intermediate."""
+    mins = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+            ).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    mins = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    return (
-        mins.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("_s"))
-        .select("doc_id", F.transform(F.col("_s"), lambda x: x["mh"]).alias("sig"))
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 

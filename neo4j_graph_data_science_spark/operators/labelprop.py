@@ -56,8 +56,19 @@ def label_propagation(
     """Returns PregelResult with state (id, label)."""
     cfg = config or LabelPropagationConfig()
     e = graph.oriented_edges("UNDIRECTED" if cfg.undirected else "NATURAL")
-    edges = e.select(SRC, DST, W)
+    # GDS gathers votes from each node's OUT-neighbors (ComputeStep iterates
+    # forEachRelationship(node) reading the *target's* label,
+    # ComputeStepConsumer.java:49-58). Scatter-style message passing
+    # delivers the SRC label to DST, so we reverse the edges first: the
+    # label-carrying side becomes src, the receiving node dst. For the
+    # (default) undirected projection the edge set is symmetric and this is
+    # a no-op semantically.
+    edges = e.select(
+        F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col(W)
+    )
     if cfg.node_weight_property:
+        # vote weight = relationshipWeight * nodeWeight(voting neighbor);
+        # post-reversal the voting neighbor is the src side
         nw = graph.nodes.select(
             F.col("id").alias(SRC), F.col(cfg.node_weight_property).alias("_nw")
         )
@@ -96,13 +107,12 @@ def label_propagation(
             )
         )
 
-    def converged(old: DataFrame, new: DataFrame, it: int) -> bool:
-        return new.filter(F.col("changed")).limit(1).count() == 0
-
     res = run_pregel(
-        state0, superstep, converged,
+        state0, superstep, lambda o, n, i: False,
         PregelConfig(cfg.max_iterations, 0.0, cfg.partitions,
                      cfg.checkpoint_dir, 1, cfg.run_id),
+        stats=[F.max(F.col("changed").cast("int"))],
+        converged_stats=lambda row, it: not row[1],
     )
     res.state = res.state.select("id", "label")
     edges.unpersist()

@@ -126,16 +126,16 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
             )
         )
 
-    def converged(old: DataFrame, new: DataFrame, it: int) -> bool:
+    def converged_stats(row: tuple, it: int) -> bool:
         if cfg.tolerance <= 0:
             return False
-        mx = new.agg(F.max("delta")).collect()[0][0]
+        mx = row[1]
         return mx is not None and mx <= cfg.tolerance
 
     res = run_pregel(
         state0,
         superstep,
-        converged,
+        lambda o, n, i: False,
         PregelConfig(
             max_iterations=max(cfg.max_iterations - 1, 0),  # GDS superstep 0 is send-only
             tolerance=cfg.tolerance,
@@ -143,6 +143,8 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
             run_id=cfg.run_id,
             partitions=cfg.partitions,
         ),
+        stats=[F.max("delta")],
+        converged_stats=converged_stats,
     )
     res.iterations += 1  # report GDS-style superstep count incl. initial send
     res.state = res.state.select("id", F.col("rank").alias("score"))

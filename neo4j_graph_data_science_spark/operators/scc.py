@@ -66,11 +66,10 @@ def _min_propagate(edges: DataFrame, nodes: DataFrame, reverse: bool,
             (F.coalesce("msg", F.col("comp")) < F.col("comp")).alias("changed"),
         )
 
-    def converged(old: DataFrame, new: DataFrame, it: int) -> bool:
-        return new.filter(F.col("changed")).limit(1).count() == 0
-
-    res = run_pregel(state0, superstep, converged,
-                     PregelConfig(max_iterations=max_iters, track_metrics=False))
+    res = run_pregel(state0, superstep, lambda o, n, i: False,
+                     PregelConfig(max_iterations=max_iters, track_metrics=False),
+                     stats=[F.max(F.col("changed").cast("int"))],
+                     converged_stats=lambda row, it: not row[1])
     return res.state.select("id", "comp")
 
 

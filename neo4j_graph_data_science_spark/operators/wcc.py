@@ -99,13 +99,12 @@ def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
             )
         return new
 
-    def converged(old: DataFrame, new: DataFrame, it: int) -> bool:
-        return new.filter(F.col("changed")).limit(1).count() == 0
-
     res = run_pregel(
-        state0, superstep, converged,
+        state0, superstep, lambda o, n, i: False,
         PregelConfig(cfg.max_iterations, 0.0, cfg.partitions,
                      cfg.checkpoint_dir, 1, cfg.run_id),
+        stats=[F.max(F.col("changed").cast("int"))],
+        converged_stats=lambda row, it: not row[1],
     )
     comp = res.state.select("id", F.col("comp").alias("component"))
     if cfg.consecutive_ids:

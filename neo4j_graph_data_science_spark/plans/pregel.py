@@ -95,6 +95,8 @@ def run_pregel(
     converged: Callable[[DataFrame, DataFrame, int], bool],
     config: PregelConfig,
     spark: SparkSession | None = None,
+    stats: "list[Column] | None" = None,
+    converged_stats: "Callable[[tuple, int], bool] | None" = None,
 ) -> PregelResult:
     """Generic BSP loop (Pregel.java:204-245 analogue).
 
@@ -102,6 +104,14 @@ def run_pregel(
     DataFrame transformations; this loop owns materialization, persist
     rotation, checkpointing, metrics and the convergence check so algorithm
     code stays declarative.
+
+    Fast path: pass ``stats`` (aggregate Columns over the new state, e.g.
+    ``[F.max("delta")]``) and ``converged_stats(stats_row, it) -> bool``.
+    The vertex count, the convergence statistics, and the materialization of
+    the persisted state then all happen in ONE Spark job per superstep --
+    the classic "2 actions per iteration" tax (count + converge-check) is
+    what dominates superstep latency on overhead-bound graphs and costs a
+    full extra pass at scale.
     """
     ckpt: Optional[CheckpointManager] = None
     start_iter = 0
@@ -124,10 +134,17 @@ def run_pregel(
             new_state = new_state.localCheckpoint(eager=True)
         else:
             new_state = new_state.persist()
-        n = new_state.count()  # materialize; one Spark job per superstep
-        wall = time.time() - t0
-        done = converged(state, new_state, it)
-        it += 1
+        if stats is not None and converged_stats is not None:
+            row = new_state.agg(F.count(F.lit(1)), *stats).collect()[0]
+            n = row[0]
+            done = converged_stats(tuple(row), it)
+            wall = time.time() - t0
+            it += 1
+        else:
+            n = new_state.count()  # materialize; one Spark job per superstep
+            wall = time.time() - t0
+            done = converged(state, new_state, it)
+            it += 1
         if config.track_metrics:
             metrics.append(
                 {"iteration": it, "vertices": n, "wall_s": round(wall, 4),

@@ -82,12 +82,26 @@ def test_pagerank_wiki_fixture(spark):
 
 
 def test_pagerank_converges_with_tolerance(spark):
+    """Tolerance-based convergence reaches the true fixpoint
+    r = (I - d * M)^-1 alpha (M = column-normalized adjacency), NOT the
+    41-iteration fixture snapshot: the GDS wiki expectations are the value
+    *at* maxIterations=41, which still sits ~5e-3 below the fixpoint on the
+    slow-mixing b<->c cycle."""
     g = from_edge_list(spark, WIKI_EDGES, n_nodes=11)
     res = page_rank(g, PageRankConfig(max_iterations=200, tolerance=1e-7))
     got = {r["id"]: r["score"] for r in res.state.collect()}
     assert res.converged
-    for v, exp in EXPECTED.items():
-        assert math.isclose(got[v], exp, rel_tol=0, abs_tol=1e-4), (v, got[v], exp)
+    n, d = 11, 0.85
+    out = np.zeros(n)
+    for s, t in WIKI_EDGES:
+        out[s] += 1
+    m = np.zeros((n, n))
+    for s, t in WIKI_EDGES:
+        m[t, s] += 1.0 / out[s]
+    fixpoint = np.linalg.solve(np.eye(n) - d * m, np.full(n, 1 - d))
+    for v in range(n):
+        assert math.isclose(got[v], fixpoint[v], rel_tol=0, abs_tol=1e-4), (
+            v, got[v], fixpoint[v])
 
 
 def test_pagerank_sink_nodes_at_alpha(spark):
