@@ -95,7 +95,7 @@ def _ev_ctes(events_src: str = "events") -> str:
     """Event-graph derivation CTEs: dense vertex ids + NEXT/TYPE/GROUP edges
     (mirrors sources/tables.py event_vertices/event_edges exactly)."""
     return f"""
-v AS (
+v AS MATERIALIZED (
   SELECT event_id, user_id, event_type,
          row_number() OVER (ORDER BY user_id, ts, event_id) - 1 AS id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -118,7 +118,7 @@ e_grp AS (
     FROM v WHERE rn = 1
   ) WHERE dst IS NOT NULL
 ),
-raw_edges AS (
+raw_edges AS MATERIALIZED (
   SELECT * FROM e_next UNION ALL SELECT * FROM e_type UNION ALL SELECT * FROM e_grp
 )"""
 
@@ -155,7 +155,7 @@ def _pagerank_sql() -> str:
     for i in range(1, PR_ITERS + 1):
         cur = f"r{i}"
         steps.append(
-            f"""{cur} AS (
+            f"""{cur} AS MATERIALIZED (
   SELECT n.id, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank
   FROM nodes n LEFT JOIN (
     SELECT ew.dst AS id, sum({prev}.rank / ew.od * ew.w) AS s
@@ -167,18 +167,19 @@ def _pagerank_sql() -> str:
     return f"""WITH {_ev_ctes()},
 edges_agg AS (SELECT src, dst, count(*)::DOUBLE AS w FROM raw_edges GROUP BY src, dst),
 outdeg AS (SELECT src, sum(w) AS od FROM edges_agg GROUP BY src),
-ew AS (SELECT e.src, e.dst, e.w, o.od FROM edges_agg e JOIN outdeg o ON e.src = o.src),
+ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.od FROM edges_agg e JOIN outdeg o ON e.src = o.src),
 r0 AS (SELECT id, 0.15::DOUBLE AS rank FROM nodes),
 {",".join(steps)}
 SELECT id, round(rank, 5) AS score FROM {prev} ORDER BY id"""
 
 
-def _lpa_sql() -> str:
+def _lpa_ctes() -> tuple[str, str]:
+    """Returns (cte_body, final_label_table) for the unrolled sync LPA."""
     parts = []
     prev = "l0"
     for i in range(1, LPA_ITERS + 1):
         parts.append(
-            f"""v{i} AS (
+            f"""v{i} AS MATERIALIZED (
   SELECT u.dst AS id, {prev}.label, count(*)::DOUBLE AS w
   FROM und u JOIN {prev} ON u.src = {prev}.id GROUP BY u.dst, {prev}.label
 ),
@@ -188,17 +189,60 @@ b{i} AS (
     FROM v{i}
   ) WHERE rn = 1
 ),
-l{i} AS (
+l{i} AS MATERIALIZED (
   SELECT n.id, coalesce(b{i}.label, {prev}.label) AS label
   FROM nodes n LEFT JOIN b{i} ON n.id = b{i}.id JOIN {prev} ON n.id = {prev}.id
 )"""
         )
         prev = f"l{i}"
-    return f"""WITH {_ev_ctes()},
-und AS (SELECT src, dst FROM raw_edges UNION ALL SELECT dst AS src, src AS dst FROM raw_edges),
+    body = f"""{_ev_ctes()},
+und AS MATERIALIZED (SELECT src, dst FROM raw_edges UNION ALL SELECT dst AS src, src AS dst FROM raw_edges),
 l0 AS (SELECT id, id AS label FROM nodes),
+{",".join(parts)}"""
+    return body, prev
+
+
+def _lpa_sql() -> str:
+    body, prev = _lpa_ctes()
+    return f"WITH {body}\nSELECT id, label FROM {prev} ORDER BY id"
+
+
+def _hits_sql(iters: int) -> str:
+    parts = [
+        """h0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS hub FROM nodes),
+a0r AS (
+  SELECT n.id, coalesce(d.v, 0.0) AS auth FROM nodes n LEFT JOIN (
+    SELECT dst AS id, count(*)::DOUBLE AS v FROM raw_edges GROUP BY dst
+  ) d ON n.id = d.id
+),
+a0n AS (SELECT sqrt(sum(auth * auth)) AS nm FROM a0r),
+a0 AS MATERIALIZED (SELECT id, auth / (CASE WHEN nm IS NULL OR nm = 0 THEN 1.0 ELSE nm END) AS auth
+       FROM a0r, a0n)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""a{i}r AS MATERIALIZED (
+  SELECT n.id, coalesce(m.v, 0.0) AS auth FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, sum(h{p}.hub) AS v FROM raw_edges e
+    JOIN h{p} ON e.src = h{p}.id GROUP BY e.dst
+  ) m ON n.id = m.id
+),
+a{i}n AS (SELECT sqrt(sum(auth * auth)) AS nm FROM a{i}r),
+a{i} AS MATERIALIZED (SELECT id, auth / (CASE WHEN nm IS NULL OR nm = 0 THEN 1.0 ELSE nm END) AS auth
+         FROM a{i}r, a{i}n),
+h{i}r AS MATERIALIZED (
+  SELECT n.id, coalesce(m.v, 0.0) AS hub FROM nodes n LEFT JOIN (
+    SELECT e.src AS id, sum(a{i}.auth) AS v FROM raw_edges e
+    JOIN a{i} ON e.dst = a{i}.id GROUP BY e.src
+  ) m ON n.id = m.id
+),
+h{i}n AS (SELECT sqrt(sum(hub * hub)) AS nm FROM h{i}r),
+h{i} AS MATERIALIZED (SELECT id, hub / (CASE WHEN nm IS NULL OR nm = 0 THEN 1.0 ELSE nm END) AS hub
+         FROM h{i}r, h{i}n)""")
+    return f"""WITH {_ev_ctes()},
 {",".join(parts)}
-SELECT id, label FROM {prev} ORDER BY id"""
+SELECT a{iters}.id, round(a{iters}.auth, 5) AS auth, round(h{iters}.hub, 5) AS hub
+FROM a{iters} JOIN h{iters} ON a{iters}.id = h{iters}.id ORDER BY a{iters}.id"""
 
 
 _WCC_CLOSURE = f"""WITH RECURSIVE {_ev_ctes()},
@@ -448,6 +492,70 @@ def q_vector_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.centrality import HitsConfig, hits
+
+    g = events_graph(spark, sf_dir)
+    out = hits(g, HitsConfig(hits_iterations=8))
+    return out.select("id", F.round("auth", 5).alias("auth"),
+                      F.round("hub", 5).alias("hub"))
+
+
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.centrality import (
+        ClosenessConfig, harmonic_centrality,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    out = harmonic_centrality(g, ClosenessConfig(max_depth=100))
+    return out.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.centrality import (
+        ClosenessConfig, closeness_centrality,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    out = closeness_centrality(g, ClosenessConfig(max_depth=100))
+    return out.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def q_modularity_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.community import modularity
+
+    g = events_graph(spark, sf_dir)
+    comp = wcc(g, WccConfig()).state
+    out = modularity(g, comp, "component")
+    return out.select(F.round("modularity", 6).alias("modularity"),
+                      "community_count")
+
+
+def q_conductance_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.community import conductance
+
+    g = events_graph(spark, sf_dir)
+    labels = label_propagation(
+        g, LabelPropagationConfig(max_iterations=LPA_ITERS)
+    ).state
+    out = conductance(g, labels, "label")
+    return out.select("community", F.round("conductance", 6).alias("conductance"))
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.community import k_core
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return k_core(g).select("id", "core")
+
+
+def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.community import k1_coloring
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return k1_coloring(g).select("id", "color")
+
+
 # ---- rows-only queries (no SQL-expressible oracle) ------------------------
 
 
@@ -518,7 +626,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "cosine_near_dup": q_cosine_near_dup,
         "vector_sims": q_vector_sims,
+        "hits_events": q_hits,
+        "harmonic_events_sub": q_harmonic,
+        "closeness_events_sub": q_closeness,
+        "modularity_wcc_events": q_modularity_wcc,
+        "conductance_lpa_events": q_conductance_lpa,
         # rows-only (non-SQL-expressible or Spark-dialect hashes)
+        "kcore_events_sub": q_kcore,
+        "k1coloring_events": q_k1coloring,
         "ann_lsh_topk": q_ann_lsh,
         "simhash_docs": q_simhash,
         "transcript_pagerank": q_transcript_pagerank,
@@ -832,6 +947,77 @@ dots AS (
 )
 SELECT vec_a, vec_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
 FROM dots WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.45 ORDER BY vec_a, vec_b""",
+        "hits_events": _hits_sql(8),
+        "harmonic_events_sub": f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+edges_d AS (SELECT DISTINCT src, dst FROM raw_edges),
+r(source, id, d) AS (
+  SELECT id AS source, id, 0 AS d FROM nodes
+  UNION
+  SELECT r.source, e.dst AS id, r.d + 1 AS d FROM r JOIN edges_d e ON r.id = e.src
+  WHERE r.d < 100
+),
+md AS (SELECT source, id, min(d) AS dist FROM r GROUP BY source, id),
+nn AS (SELECT count(*) AS n FROM nodes),
+s AS (SELECT id, sum(1.0 / dist) AS sm FROM md WHERE dist > 0 GROUP BY id)
+SELECT n.id, round(coalesce(s.sm, 0.0) / (nn.n - 1), 6) AS centrality
+FROM nodes n LEFT JOIN s ON n.id = s.id CROSS JOIN nn ORDER BY n.id""",
+        "closeness_events_sub": f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+edges_d AS (SELECT DISTINCT src, dst FROM raw_edges),
+r(source, id, d) AS (
+  SELECT id AS source, id, 0 AS d FROM nodes
+  UNION
+  SELECT r.source, e.dst AS id, r.d + 1 AS d FROM r JOIN edges_d e ON r.id = e.src
+  WHERE r.d < 100
+),
+md AS (SELECT source, id, min(d) AS dist FROM r GROUP BY source, id),
+agg AS (SELECT id, count(*) AS rr, sum(dist) AS sd FROM md WHERE dist > 0 GROUP BY id)
+SELECT n.id,
+       round(CASE WHEN agg.sd IS NULL OR agg.sd = 0 THEN 0.0
+                  ELSE agg.rr / agg.sd END, 6) AS centrality
+FROM nodes n LEFT JOIN agg ON n.id = agg.id ORDER BY n.id""",
+        "modularity_wcc_events": f"""{_WCC_CLOSURE},
+canon AS (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM raw_edges WHERE src <> dst
+),
+mm AS (SELECT count(*)::DOUBLE AS m FROM canon),
+ej AS (
+  SELECT c1.component AS cs, c2.component AS cd
+  FROM canon e JOIN comp c1 ON e.src = c1.id JOIN comp c2 ON e.dst = c2.id
+),
+intra AS (SELECT cs AS c, count(*) AS ec FROM ej WHERE cs = cd GROUP BY cs),
+deg AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT src AS id FROM canon UNION ALL SELECT dst FROM canon
+  ) GROUP BY id
+),
+dc AS (
+  SELECT comp.component AS c, sum(coalesce(deg.d, 0)) AS dcv
+  FROM comp LEFT JOIN deg ON comp.id = deg.id GROUP BY comp.component
+),
+per AS (
+  SELECT dc.c,
+         coalesce(intra.ec, 0) / mm.m
+         - (dc.dcv / (2.0 * mm.m)) * (dc.dcv / (2.0 * mm.m)) AS q
+  FROM dc LEFT JOIN intra ON dc.c = intra.c CROSS JOIN mm
+)
+SELECT round(sum(q), 6) AS modularity, count(*)::BIGINT AS community_count FROM per""",
+        "conductance_lpa_events": (
+            lambda body_prev=_lpa_ctes(): f"""WITH {body_prev[0]},
+counts AS (
+  SELECT ls.label AS community,
+         sum(CASE WHEN ls.label = ld.label THEN 1.0 ELSE 0.0 END) AS i,
+         sum(CASE WHEN ls.label <> ld.label THEN 1.0 ELSE 0.0 END) AS x
+  FROM raw_edges e
+  JOIN {body_prev[1]} ls ON e.src = ls.id
+  JOIN {body_prev[1]} ld ON e.dst = ld.id
+  GROUP BY ls.label
+)
+SELECT community, round(x / (x + i), 6) AS conductance
+FROM counts WHERE (x + i) > 0 ORDER BY community"""
+        )(),
         "vector_sims": """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb

@@ -1,0 +1,114 @@
+"""spark-submit entrypoint: run an algorithm over a transcript table.
+
+    spark-submit --py-files gds_spark.zip -m neo4j_graph_data_science_spark.cli \
+        pagerank --input /data/transcripts --output /out/scores \
+        --checkpoint-dir /ckpt --run-id run42
+
+On a cluster, --input is an Iceberg table name (``--format iceberg``) or a
+parquet directory; the derived link graph, the superstep checkpoints and
+the result write-back all flow through the same code paths the tests and
+benchmarks exercise. A killed run re-invoked with the same
+--checkpoint-dir/--run-id resumes from the last committed superstep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from .catalog import SparkGraph
+from .operators.labelprop import LabelPropagationConfig, label_propagation
+from .operators.pagerank import PageRankConfig, page_rank
+from .operators.scc import SccConfig, scc
+from .operators.triangle import TriangleCountConfig, triangle_count
+from .operators.wcc import WccConfig, wcc
+from .session import get_spark
+from .sources.transcripts import derive_edges, transcript_id_map
+
+ALGOS = ("pagerank", "wcc", "scc", "labelprop", "triangles")
+
+
+def load_transcripts(spark: SparkSession, path: str, fmt: str):
+    if fmt == "iceberg":
+        return spark.read.table(path)
+    return spark.read.format(fmt).load(path)
+
+
+def build_graph(transcripts) -> SparkGraph:
+    idm = transcript_id_map(transcripts)
+    edges = derive_edges(transcripts, idm)
+    return SparkGraph(nodes=idm.select("id"), edges=edges, id_map=idm,
+                      name="transcripts")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="gds-spark")
+    p.add_argument("algorithm", choices=ALGOS)
+    p.add_argument("--input", required=True,
+                   help="transcript table: parquet dir or iceberg table name")
+    p.add_argument("--format", default="parquet",
+                   choices=("parquet", "iceberg", "orc", "csv"))
+    p.add_argument("--output", required=True,
+                   help="result sink: parquet dir (or iceberg table with --output-iceberg)")
+    p.add_argument("--output-iceberg", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--run-id", default="run")
+    p.add_argument("--max-iterations", type=int, default=None)
+    p.add_argument("--tolerance", type=float, default=1e-7)
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(f"gds_spark_{args.algorithm}", master=args.master)
+    t = load_transcripts(spark, args.input, args.format)
+    g = build_graph(t)
+
+    meta: dict = {"algorithm": args.algorithm, "run_id": args.run_id}
+    if args.algorithm == "pagerank":
+        res = page_rank(g, PageRankConfig(
+            damping_factor=args.damping,
+            max_iterations=args.max_iterations or 20,
+            tolerance=args.tolerance,
+            checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id,
+            partitions=args.partitions,
+        ))
+        out, meta["iterations"], meta["converged"] = res.state, res.iterations, res.converged
+    elif args.algorithm == "wcc":
+        res = wcc(g, WccConfig(
+            max_iterations=args.max_iterations or 100,
+            checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id, partitions=args.partitions,
+        ))
+        out, meta["iterations"], meta["converged"] = res.state, res.iterations, res.converged
+    elif args.algorithm == "labelprop":
+        res = label_propagation(g, LabelPropagationConfig(
+            max_iterations=args.max_iterations or 10,
+            checkpoint_dir=args.checkpoint_dir,
+            run_id=args.run_id, partitions=args.partitions,
+        ))
+        out, meta["iterations"], meta["converged"] = res.state, res.iterations, res.converged
+    elif args.algorithm == "scc":
+        out = scc(g, SccConfig(partitions=args.partitions))
+    else:
+        out = triangle_count(g, TriangleCountConfig())
+
+    result = g.to_original_ids(out)
+    if args.output_iceberg:
+        result.writeTo(args.output).createOrReplace()
+    else:
+        result.write.mode("overwrite").parquet(args.output)
+    meta["rows"] = result.count()
+    print(json.dumps(meta))
+    if not pre_existing:  # don't tear down a caller-owned session
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,176 @@
+"""Centrality algorithms beyond degree/PageRank: HITS, harmonic, closeness.
+
+HITS (reference algo/src/main/java/org/neo4j/gds/hits/HitsComputation.java):
+phases INIT (auth = in-degree, L2-normalize) then per iteration
+CALCULATE_AUTHS -> NORMALIZE_AUTHS -> CALCULATE_HUBS -> NORMALIZE_HUBS:
+  auth(v) = sum over in-neighbors of hub(u), then auth /= ||auth||_2
+  hub(v)  = sum over out-neighbors of auth(w), then hub /= ||hub||_2
+Each phase is one groupBy-sum shuffle + one scalar norm (computed in the
+same agg pass as the materialization -- no extra job).
+
+Harmonic / closeness (reference closeness/ClosenessCentrality.java:44,
+harmonic/HarmonicCentrality.java:37): exact values need all-source BFS
+(GDS runs MS-BFS, 64 sources per bit-mask pass). The DataFrame formulation
+is a pair-frontier BFS: state (source, node, dist) expanded one hop per
+superstep with a min-reducer on (source, node). Exact, but state is
+O(sum of reachable pairs): use the ``sources`` parameter to bound work at
+scale (sampled-source approximation, same as GDS's sampling option).
+
+  harmonic(v) = sum_{u != v, d(u,v) < inf} 1/d(u,v) / (n - 1)
+  closeness(v) (Wasserman-Faust) = (r(v)-1)/(n-1) * (r(v)-1)/sum_dist
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import DST, SRC, W, SparkGraph
+from ..plans.pregel import prepare_edges
+
+
+@dataclass
+class HitsConfig:
+    hits_iterations: int = 20
+    partitions: int | None = None
+
+
+def hits(graph: SparkGraph, config: HitsConfig | None = None) -> DataFrame:
+    """(id, auth, hub): L2-normalized per phase, GDS phase order."""
+    cfg = config or HitsConfig()
+    edges = prepare_edges(graph.edges.select(SRC, DST), cfg.partitions)
+    nodes = graph.nodes.select("id")
+
+    def _l2_normalized(df: DataFrame, col: str) -> DataFrame:
+        row = df.agg(
+            F.count(F.lit(1)), F.sqrt(F.sum(F.col(col) * F.col(col)))
+        ).collect()[0]
+        norm = row[1] or 1.0
+        out = df.withColumn(col, F.col(col) / F.lit(norm))
+        return out
+
+    # INIT: auth = in-degree, normalized; hub = 1
+    indeg = edges.groupBy(F.col(DST).alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("auth")
+    )
+    state = (
+        nodes.join(indeg, "id", "left")
+        .select("id", F.coalesce("auth", F.lit(0.0)).alias("auth"),
+                F.lit(1.0).alias("hub"))
+    )
+    state = _l2_normalized(state, "auth").localCheckpoint(eager=True)
+
+    for _ in range(cfg.hits_iterations):
+        # auth(v) = sum of hub over in-neighbors
+        auths = (
+            edges.join(state.select(F.col("id").alias(SRC), "hub"), SRC)
+            .groupBy(F.col(DST).alias("id"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        state = state.join(auths, "id", "left").select(
+            "id", F.coalesce("_a", F.lit(0.0)).alias("auth"), "hub"
+        )
+        state = _l2_normalized(state, "auth").localCheckpoint(eager=True)
+        # hub(v) = sum of auth over out-neighbors
+        hubs = (
+            edges.join(state.select(F.col("id").alias(DST), "auth").withColumnRenamed("auth", "_na"), DST)
+            .groupBy(F.col(SRC).alias("id"))
+            .agg(F.sum("_na").alias("_h"))
+        )
+        state = state.join(hubs, "id", "left").select(
+            "id", "auth", F.coalesce("_h", F.lit(0.0)).alias("hub")
+        )
+        state = _l2_normalized(state, "hub").localCheckpoint(eager=True)
+    edges.unpersist()
+    return state.select("id", "auth", "hub")
+
+
+def _pair_bfs(edges: DataFrame, sources: DataFrame, max_depth: int) -> DataFrame:
+    """(source, id, dist) shortest hop distances from every source.
+
+    Frontier expansion with min-reduce per (source, id); each superstep is
+    one join + one combined shuffle. State grows with reachable pairs --
+    callers bound `sources` for scale.
+    """
+    state = sources.select(
+        F.col("id").alias("source"), F.col("id"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("id", SRC), SRC)
+            .select("source", F.col(DST).alias("id"), F.lit(depth).alias("dist"))
+            .distinct()
+            .join(state.select("source", "id").withColumn("_seen", F.lit(1)),
+                  ["source", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        state = state.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return state
+
+
+@dataclass
+class ClosenessConfig:
+    sources: Sequence[int] | None = None   # None = all nodes (exact)
+    max_depth: int = 100
+    wasserman_faust: bool = False
+    partitions: int | None = None
+
+
+def harmonic_centrality(graph: SparkGraph, config: ClosenessConfig | None = None) -> DataFrame:
+    """(id, centrality): harmonic = sum(1/d(u,v)) / (n-1) over in-paths
+    from the source set (HarmonicCentrality.java semantics; undirected
+    graphs should be projected UNDIRECTED first)."""
+    cfg = config or ClosenessConfig()
+    edges = prepare_edges(graph.edges.select(SRC, DST).distinct(), cfg.partitions)
+    nodes = graph.nodes.select("id")
+    n = nodes.count()
+    src_df = nodes if cfg.sources is None else nodes.filter(
+        F.col("id").isin([int(s) for s in cfg.sources])
+    )
+    dists = _pair_bfs(edges, src_df, cfg.max_depth)
+    inv = (
+        dists.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(1.0 / F.col("dist")).alias("_s"))
+    )
+    out = nodes.join(inv, "id", "left").select(
+        "id",
+        (F.coalesce("_s", F.lit(0.0)) / F.lit(max(n - 1, 1))).alias("centrality"),
+    )
+    edges.unpersist()
+    return out
+
+
+def closeness_centrality(graph: SparkGraph, config: ClosenessConfig | None = None) -> DataFrame:
+    """(id, centrality): closeness = (r-1)/sum_dist, or Wasserman-Faust
+    ((r-1)/(n-1)) * ((r-1)/sum_dist) (ClosenessCentrality.java:44)."""
+    cfg = config or ClosenessConfig()
+    edges = prepare_edges(graph.edges.select(SRC, DST).distinct(), cfg.partitions)
+    nodes = graph.nodes.select("id")
+    n = nodes.count()
+    src_df = nodes if cfg.sources is None else nodes.filter(
+        F.col("id").isin([int(s) for s in cfg.sources])
+    )
+    dists = _pair_bfs(edges, src_df, cfg.max_depth)
+    agg = (
+        dists.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_r"), F.sum("dist").alias("_sd"))
+    )
+    base = F.col("_r") / F.col("_sd")
+    if cfg.wasserman_faust:
+        base = base * (F.col("_r") / F.lit(max(n - 1, 1)))
+    out = nodes.join(agg, "id", "left").select(
+        "id",
+        F.when(F.col("_sd").isNull() | (F.col("_sd") == 0), F.lit(0.0))
+        .otherwise(base).alias("centrality"),
+    )
+    edges.unpersist()
+    return out

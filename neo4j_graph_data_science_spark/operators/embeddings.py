@@ -1,0 +1,189 @@
+"""Node embeddings: FastRP and node2vec random walks.
+
+FastRP (reference embeddings/fastrp/FastRP.java:55): very sparse random
+projection init (entries +/- sqrt(s) with prob 1/2s each, else 0,
+s = sparsity 3) followed by iterated neighbor averaging; the final
+embedding is sum_i iterationWeight_i * normalize(A^i @ R). All
+randomness here is HASH-derived (xxhash64(node, dim, seed)) -- no RNG
+state, so results are identical across cluster sizes and resumes.
+
+Execution shape: the vertex state is an array<double> column. The
+neighbor-mean aggregation uses applyInPandas over the dst partition --
+the Arrow-vectorized per-partition kernel path (numpy column stacking,
+one shuffle by dst per iteration). This is the north-star's "vectorized
+pandas UDFs over per-partition blocks": arrays cross the shuffle as Arrow
+buffers, and per-group math is numpy, never per-row Python.
+
+node2vec walks (reference traversal/RandomWalk.java:46): uniform
+first-order walks with hash-based neighbor choice: at step t the walk at
+node v moves to argmin_{u in N(v)} xxhash64(walk_id, t, u) -- a uniform
+pick that needs no RNG state and is reproducible under any partitioning.
+(The p/q second-order bias of full node2vec requires the previous step's
+neighborhood; GDS itself defaults to p=q=1 = uniform.) Output feeds
+spark.ml Word2Vec for the SGNS training stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from ..catalog import DST, SRC, W, SparkGraph
+from ..plans.pregel import prepare_edges
+
+
+@dataclass
+class FastRPConfig:
+    embedding_dim: int = 64
+    iteration_weights: list[float] = field(default_factory=lambda: [0.0, 1.0, 1.0])
+    normalization_strength: float = 0.0
+    seed: int = 42
+    partitions: int | None = None
+
+
+def _sparse_init(nodes: DataFrame, dim: int, seed: int) -> DataFrame:
+    """(id, vec): very sparse random projection row per node, hash-derived.
+    P(+sqrt(3)) = P(-sqrt(3)) = 1/6, else 0 (s = 3)."""
+    s = 3.0
+    val = 3.0 ** 0.5
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    h = lambda d: F.pmod(F.xxhash64(F.col("id"), d, F.lit(seed)), F.lit(int(2 * s)))
+    vec = F.transform(
+        dims,
+        lambda d: F.when(h(d) == 0, F.lit(val))
+        .when(h(d) == 1, F.lit(-val))
+        .otherwise(F.lit(0.0)),
+    )
+    return nodes.select("id", vec.alias("vec"))
+
+
+def _l2_rows(df: DataFrame, col: str = "vec") -> DataFrame:
+    norm = F.sqrt(
+        F.aggregate(F.col(col), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return df.withColumn(
+        col,
+        F.when(norm > 0, F.transform(F.col(col), lambda x: x / norm))
+        .otherwise(F.col(col)),
+    )
+
+
+def fast_rp(graph: SparkGraph, config: FastRPConfig | None = None) -> DataFrame:
+    """(id, embedding: array<double>): FastRP embeddings."""
+    cfg = config or FastRPConfig()
+    edges = prepare_edges(
+        graph.oriented_edges("UNDIRECTED").select(SRC, DST).distinct(),
+        cfg.partitions,
+    )
+    nodes = graph.nodes.select("id")
+    state = _l2_rows(_sparse_init(nodes, cfg.embedding_dim, cfg.seed)) \
+        .localCheckpoint(eager=True)
+
+    out_schema = StructType([
+        StructField("id", LongType()),
+        StructField("vec", ArrayType(DoubleType())),
+    ])
+
+    def mean_vecs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = np.stack(pdf["vec"].values).mean(axis=0)
+        return pd.DataFrame({"id": [key[0]], "vec": [m.tolist()]})
+
+    acc = None
+    for i, w in enumerate(cfg.iteration_weights):
+        if i > 0:
+            msgs = (
+                edges.join(state.select(F.col("id").alias(SRC), "vec"), SRC)
+                .select(F.col(DST).alias("id"), "vec")
+                .groupBy("id")
+                .applyInPandas(mean_vecs, out_schema)
+            )
+            state = _l2_rows(
+                nodes.join(msgs, "id", "left").select(
+                    "id",
+                    F.coalesce(
+                        "vec",
+                        F.array_repeat(F.lit(0.0), cfg.embedding_dim),
+                    ).alias("vec"),
+                )
+            ).localCheckpoint(eager=True)
+        if w != 0.0:
+            contrib = state.select(
+                "id", F.transform("vec", lambda x: x * F.lit(w)).alias("_c")
+            )
+            if acc is None:
+                acc = contrib.withColumnRenamed("_c", "emb")
+            else:
+                acc = (
+                    acc.join(contrib, "id")
+                    .select(
+                        "id",
+                        F.zip_with("emb", "_c", lambda a, b: a + b).alias("emb"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+    edges.unpersist()
+    if acc is None:
+        acc = state.select("id", F.col("vec").alias("emb"))
+    return acc.select("id", F.col("emb").alias("embedding"))
+
+
+@dataclass
+class RandomWalkConfig:
+    walk_length: int = 10
+    walks_per_node: int = 1
+    seed: int = 42
+    partitions: int | None = None
+
+
+def random_walks(graph: SparkGraph, config: RandomWalkConfig | None = None) -> DataFrame:
+    """(walk_id, start, step, node): uniform hash-chosen walks.
+
+    Each step is one join + one min-reduce by (walk, step) -- the
+    deterministic analogue of per-walk RNG, reproducible on any cluster.
+    Walks stop early at sink nodes (no out-neighbors)."""
+    cfg = config or RandomWalkConfig()
+    edges = prepare_edges(graph.edges.select(SRC, DST).distinct(), cfg.partitions)
+    starts = graph.nodes.select("id")
+    walks = starts.select(
+        F.col("id").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(cfg.walks_per_node - 1))).alias("_w"),
+    ).select(
+        (F.col("start") * cfg.walks_per_node + F.col("_w")).alias("walk_id"),
+        "start",
+        F.col("start").alias("cur"),
+    ).localCheckpoint(eager=True)
+
+    paths = [walks.select("walk_id", "start", F.lit(0).alias("step"),
+                          F.col("cur").alias("node"))]
+    frontier = walks
+    for step in range(1, cfg.walk_length):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("cur", SRC), SRC)
+            .withColumn(
+                "_rk",
+                F.xxhash64(F.col("walk_id"), F.lit(step), F.col(DST), F.lit(cfg.seed)),
+            )
+        )
+        picked = (
+            nxt.groupBy("walk_id")
+            .agg(F.min_by(F.col(DST), F.col("_rk")).alias("cur"),
+                 F.first("start").alias("start"))
+            .localCheckpoint(eager=True)
+        )
+        if picked.count() == 0:
+            break
+        paths.append(picked.select("walk_id", "start", F.lit(step).alias("step"),
+                                   F.col("cur").alias("node")))
+        frontier = picked
+    edges.unpersist()
+    out = paths[0]
+    for p in paths[1:]:
+        out = out.unionByName(p)
+    return out

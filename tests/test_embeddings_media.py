@@ -1,0 +1,144 @@
+"""Tests: FastRP, random walks, graph generation, RWR sampling, multimodal
+plumbing, streaming wiring, CLI entrypoint."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graph_data_science_spark.catalog import from_edge_list
+from neo4j_graph_data_science_spark.operators.embeddings import (
+    FastRPConfig,
+    RandomWalkConfig,
+    fast_rp,
+    random_walks,
+)
+from neo4j_graph_data_science_spark.operators.multimodal import (
+    MediaFeatureConfig,
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from neo4j_graph_data_science_spark.sources.generator import (
+    RandomGraphConfig,
+    RwrSampleConfig,
+    generate_random_graph,
+    rwr_sample,
+)
+
+EDGES = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 0)]
+
+
+def test_fast_rp_shape_and_determinism(spark):
+    g = from_edge_list(spark, EDGES, n_nodes=5)
+    cfg = FastRPConfig(embedding_dim=8, iteration_weights=[0.0, 1.0, 0.5])
+    a = {r["id"]: r["embedding"] for r in fast_rp(g, cfg).collect()}
+    b = {r["id"]: r["embedding"] for r in fast_rp(g, cfg).collect()}
+    assert set(a) == set(range(5))
+    for v in a:
+        assert len(a[v]) == 8
+        assert a[v] == b[v]  # hash-derived: bit-identical across runs
+    assert any(any(x != 0 for x in vec) for vec in a.values())
+
+
+def test_random_walks_follow_edges(spark):
+    g = from_edge_list(spark, EDGES, n_nodes=5)
+    walks = random_walks(g, RandomWalkConfig(walk_length=5, seed=7)).collect()
+    edge_set = set(EDGES)
+    by_walk: dict = {}
+    for r in walks:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert len(by_walk) == 5
+    for wid, steps in by_walk.items():
+        seq = [steps[i] for i in sorted(steps)]
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in edge_set, (wid, seq)
+
+
+def test_generate_random_graph_deterministic(spark):
+    cfg = RandomGraphConfig(node_count=200, average_degree=3, seed=11)
+    g1 = generate_random_graph(spark, cfg)
+    g2 = generate_random_graph(spark, cfg)
+    assert g1.nodes.count() == 200
+    e1 = sorted((r["src"], r["dst"]) for r in g1.edges.collect())
+    e2 = sorted((r["src"], r["dst"]) for r in g2.edges.collect())
+    assert e1 == e2
+    assert 200 <= len(e1) <= 600  # ~3 per node minus self-loops/dups
+
+
+def test_rwr_sample_induced_subgraph(spark):
+    g = generate_random_graph(spark, RandomGraphConfig(node_count=300, average_degree=4))
+    sub = rwr_sample(g, RwrSampleConfig(sampling_ratio=0.2, start_nodes=(0,)))
+    n = sub.nodes.count()
+    assert n >= 0.2 * 300 * 0.5  # reached a sizeable sample
+    ids = {r["id"] for r in sub.nodes.collect()}
+    for r in sub.edges.collect():
+        assert r["src"] in ids and r["dst"] in ids
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media, MediaFeatureConfig(feature_dim=12)).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 12
+        assert all(-1.0 <= x < 1.0 for x in r["feature"])
+        assert r["n_bytes"] > 0
+    again = extract_features(media, MediaFeatureConfig(feature_dim=12)).collect()
+    assert sorted(r["media_id"] for r in feats) == sorted(r["media_id"] for r in again)
+    with pytest.raises(NotImplementedError):
+        extract_features(media, MediaFeatureConfig(decode="real")).collect()
+
+
+def test_frame_sample_metadata_only(spark):
+    media = synthesize_media(spark, n=20)
+    plan = frame_sample_plan(media, every_ms=60000)
+    rows = plan.collect()
+    vids = media.filter(F.col("kind") == "video").collect()
+    assert len({r["media_id"] for r in rows}) == len(vids)
+    for v in vids:
+        expect = v["duration_ms"] // 60000 + 1
+        got = sum(1 for r in rows if r["media_id"] == v["media_id"])
+        assert got == expect
+
+
+def test_streaming_edge_counts(spark, tmp_path):
+    from neo4j_graph_data_science_spark.sources.transcripts import synthesize_transcripts
+    from neo4j_graph_data_science_spark.streaming.incremental import (
+        streaming_edge_counts,
+    )
+
+    src_dir = str(tmp_path / "stream_src")
+    synthesize_transcripts(spark, n_convs=20, max_turns=10).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    counts = streaming_edge_counts(stream, "10 minutes", "10 minutes", "1 minute")
+    q = (
+        counts.writeStream.format("memory").queryName("edge_counts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; the aggregation itself ran --
+    # assert the query executed and the sink table exists
+    spark.sql("SELECT * FROM edge_counts").collect()
+
+
+def test_cli_pagerank_roundtrip(spark, tmp_path):
+    from neo4j_graph_data_science_spark.cli import main
+    from neo4j_graph_data_science_spark.sources.transcripts import synthesize_transcripts
+
+    inp = str(tmp_path / "transcripts")
+    out = str(tmp_path / "scores")
+    synthesize_transcripts(spark, n_convs=20, max_turns=10).write.parquet(inp)
+    rc = main([
+        "pagerank", "--input", inp, "--output", out,
+        "--max-iterations", "5", "--master", "local[4]",
+    ])
+    assert rc == 0
+    result = spark.read.parquet(out)
+    assert result.count() > 0
+    assert "score" in result.columns and "conv_id" in result.columns
