@@ -556,6 +556,47 @@ def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k1_coloring(g).select("id", "color")
 
 
+def q_wcc_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = events_graph(spark, sf_dir)
+    res = wcc(g, WccConfig(consecutive_ids=True))
+    return res.state.select("id", "component")
+
+
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.louvain import (
+        LouvainConfig, louvain,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    labels, _, _ = louvain(g, LouvainConfig(max_levels=3, max_local_moves=8))
+    return labels.select("id", "community")
+
+
+def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.embeddings import (
+        FastRPConfig, fast_rp,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    emb = fast_rp(g, FastRPConfig(embedding_dim=16))
+    return emb.select(
+        "id",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 6)
+        .alias("sq_norm"),
+    )
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.embeddings import (
+        RandomWalkConfig, random_walks,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return random_walks(g, RandomWalkConfig(walk_length=5)).select(
+        "walk_id", "start", "step", "node"
+    )
+
+
 # ---- rows-only queries (no SQL-expressible oracle) ------------------------
 
 
@@ -631,9 +672,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_events_sub": q_closeness,
         "modularity_wcc_events": q_modularity_wcc,
         "conductance_lpa_events": q_conductance_lpa,
+        "wcc_consecutive_events": q_wcc_consecutive,
         # rows-only (non-SQL-expressible or Spark-dialect hashes)
         "kcore_events_sub": q_kcore,
         "k1coloring_events": q_k1coloring,
+        "louvain_events_sub": q_louvain,
+        "fastrp_events_sub": q_fastrp,
+        "random_walks_events_sub": q_random_walks,
         "ann_lsh_topk": q_ann_lsh,
         "simhash_docs": q_simhash,
         "transcript_pagerank": q_transcript_pagerank,
@@ -947,6 +992,9 @@ dots AS (
 )
 SELECT vec_a, vec_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
 FROM dots WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.45 ORDER BY vec_a, vec_b""",
+        "wcc_consecutive_events": f"""{_WCC_CLOSURE},
+dr AS (SELECT id, component, dense_rank() OVER (ORDER BY component) - 1 AS new_c FROM comp)
+SELECT id, new_c::BIGINT AS component FROM dr ORDER BY id""",
         "hits_events": _hits_sql(8),
         "harmonic_events_sub": f"""WITH RECURSIVE {_SCC_SUB},
 {_ev_ctes("events_sub")},

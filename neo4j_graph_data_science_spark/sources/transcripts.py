@@ -80,18 +80,28 @@ def synthesize_transcripts(
     )
 
 
-def transcript_id_map(transcripts: DataFrame) -> DataFrame:
-    """Dense vertex ids over (conv_id, turn_idx).
+def transcript_id_map(transcripts: DataFrame, dense: bool = True) -> DataFrame:
+    """Vertex ids over (conv_id, turn_idx).
 
-    Global row_number is exact-GDS-compatible but single-partition at huge
-    scale; the scale path keys vertices by the collision-free composite
-    ``hash64(conv_id)*2^20 + turn_idx`` instead (algorithms only need unique
-    longs). Here we keep the dense map for CSR kernels + fixture parity.
+    dense=True: GDS-compatible dense ids via a global row_number -- a
+    single-partition sort, fine for fixtures/tests but SERIAL at scale.
+    dense=False (the 10^12-turn path): composite id
+    ``(xxhash64(conv_id) mod 2^40) * 2^21 + turn_idx`` -- embarrassingly
+    parallel, no shuffle at all, unique as long as conversations stay under
+    2^21 turns and conv hashes don't collide in 2^40 (~1e-7 for 10^6
+    convs). Algorithms only need unique longs; results join back through
+    this map either way.
     """
-    w = Window.orderBy("conv_id", "turn_idx")
-    return (
-        transcripts.select("conv_id", "turn_idx")
-        .withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+    if dense:
+        w = Window.orderBy("conv_id", "turn_idx")
+        return (
+            transcripts.select("conv_id", "turn_idx")
+            .withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+        )
+    return transcripts.select("conv_id", "turn_idx").withColumn(
+        "id",
+        F.pmod(F.xxhash64("conv_id"), F.lit(1 << 40)) * F.lit(1 << 21)
+        + F.col("turn_idx").cast("long"),
     )
 
 
@@ -137,10 +147,11 @@ def derive_edges(transcripts: DataFrame, id_map: DataFrame | None = None) -> Dat
 
 
 def transcript_graph(
-    spark: SparkSession, n_convs: int = 200, seed: int = 42, max_turns: int = 40
+    spark: SparkSession, n_convs: int = 200, seed: int = 42, max_turns: int = 40,
+    dense_ids: bool = True,
 ) -> SparkGraph:
     t = synthesize_transcripts(spark, n_convs, seed, max_turns)
-    idm = transcript_id_map(t)
+    idm = transcript_id_map(t, dense=dense_ids)
     edges = derive_edges(t, idm)
     nodes = idm.select("id")
     return SparkGraph(nodes=nodes, edges=edges, id_map=idm, name="transcripts")

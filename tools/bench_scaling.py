@@ -30,7 +30,7 @@ from neo4j_graph_data_science_spark.sources.transcripts import transcript_graph
 from neo4j_graph_data_science_spark.operators.pagerank import PageRankConfig, page_rank
 
 spark = get_spark("scale_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
-g = transcript_graph(spark, n_convs=n_convs, seed=42, max_turns=40)
+g = transcript_graph(spark, n_convs=n_convs, seed=42, max_turns=40, dense_ids=False)
 edges = g.edges
 n_edges = edges.count()
 # warmup: one full run at 3 supersteps to JIT/plan-cache

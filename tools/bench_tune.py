@@ -42,6 +42,9 @@ spark.stop()
 
 CONFIGS = {
     "base": {},
+    "heap16g": {"spark.driver.memory": "16g"},
+    "heap16g_g1": {"spark.driver.memory": "16g",
+                   "spark.driver.extraJavaOptions": "-XX:+UseG1GC -XX:MaxGCPauseMillis=200"},
     "shuffle2x": {"_shuffle": 64},
     "no_aqe_coalesce": {"spark.sql.adaptive.coalescePartitions.enabled": "false"},
     "truncate4": {"_truncate": 4},
