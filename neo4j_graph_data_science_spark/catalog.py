@@ -177,11 +177,20 @@ def from_edge_list(
 ) -> SparkGraph:
     """Tiny-fixture constructor -- the pytest analogue of GDS's GDL graphs
     (gdl-graph/.../GdlFactory.java:78-90)."""
+    import pandas as pd
+
     rows = [
         (int(e[0]), int(e[1]), rel_type, float(e[2]) if len(e) > 2 else 1.0)
         for e in edge_list
     ]
-    edges = spark.createDataFrame(rows, f"{SRC} long, {DST} long, {REL} string, {W} double")
+    # pandas input takes the Arrow path: record batches built on the driver
+    # and shipped straight to the JVM -- no python workers involved (plain
+    # list input would parallelize through python workers per task)
+    pdf = pd.DataFrame(rows, columns=[SRC, DST, REL, W]) if rows else pd.DataFrame(
+        {SRC: pd.Series(dtype="int64"), DST: pd.Series(dtype="int64"),
+         REL: pd.Series(dtype="object"), W: pd.Series(dtype="float64")}
+    )
+    edges = spark.createDataFrame(pdf, f"{SRC} long, {DST} long, {REL} string, {W} double")
     if n_nodes is None:
         ids = {i for e in edge_list for i in (e[0], e[1])}
         n_nodes = (max(ids) + 1) if ids else 0
