@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import DST, SRC, W, SparkGraph
+from ..plans.checkpoint import truncate
 from .community import modularity as modularity_metric
 
 
@@ -49,11 +50,9 @@ def _local_moves(edges: DataFrame, nodes: DataFrame, max_rounds: int) -> DataFra
     """One Louvain level's local-move phase over an undirected weighted
     edge DF (both directions present). Returns (id, comm)."""
     deg = edges.groupBy(F.col(SRC).alias("id")).agg(F.sum(W).alias("k"))
-    nodes_k = nodes.join(deg, "id", "left").fillna(0.0, ["k"]) \
-        .localCheckpoint(eager=True)
+    nodes_k = truncate(nodes.join(deg, "id", "left").fillna(0.0, ["k"]), "lv_nk")
     two_m = nodes_k.agg(F.sum("k")).collect()[0][0] or 1.0
-    labels = nodes_k.select("id", F.col("id").alias("comm"), "k") \
-        .localCheckpoint(eager=True)
+    labels = nodes_k.select("id", F.col("id").alias("comm"), "k")
 
     for rnd in range(max_rounds):
         sum_tot = labels.groupBy("comm").agg(F.sum("k").alias("_tot"))
@@ -97,8 +96,8 @@ def _local_moves(edges: DataFrame, nodes: DataFrame, max_rounds: int) -> DataFra
                 "k",
                 improving.alias("_pending"),
             )
-            .localCheckpoint(eager=True)
         )
+        labels_new = truncate(labels_new, "lv_lab")
         pending = labels_new.agg(
             F.max(F.col("_pending").cast("int"))
         ).collect()[0][0]
@@ -115,11 +114,10 @@ def louvain(graph: SparkGraph, config: LouvainConfig | None = None):
     # undirected symmetric weighted edge view, parallel edges summed
     base = graph.aggregated_edges("SUM", "UNDIRECTED") \
         .filter(F.col(SRC) != F.col(DST))
-    edges = base.localCheckpoint(eager=True)
-    nodes = graph.nodes.select("id").localCheckpoint(eager=True)
+    edges = truncate(base, "lv_edges")
+    nodes = truncate(graph.nodes.select("id"), "lv_nodes")
     # mapping original id -> current community (starts as identity)
-    assignment = nodes.select("id", F.col("id").alias("community")) \
-        .localCheckpoint(eager=True)
+    assignment = nodes.select("id", F.col("id").alias("community"))
     modularities: list[float] = []
     prev_q = None
 
@@ -131,8 +129,8 @@ def louvain(graph: SparkGraph, config: LouvainConfig | None = None):
                 "community",
             )
             .select("id", F.col("comm").alias("community"))
-            .localCheckpoint(eager=True)
         )
+        new_assignment = truncate(new_assignment, "lv_asg")
         q = modularity_metric(graph, new_assignment, "community") \
             .collect()[0]["modularity"]
         if prev_q is not None and q - prev_q < cfg.min_gain:
@@ -147,12 +145,11 @@ def louvain(graph: SparkGraph, config: LouvainConfig | None = None):
             edges.join(lab_s, SRC).join(lab_d, DST)
             .groupBy(F.col("_cs").alias(SRC), F.col("_cd").alias(DST))
             .agg(F.sum(W).alias(W))
-            .localCheckpoint(eager=True)
         )
+        edges = truncate(edges, "lv_edges")
         # self-loops (intra-community weight) stay: they feed k_i and
         # k_{i,own} at the next level, as in textbook Louvain contraction
-        nodes = labels.select(F.col("comm").alias("id")).distinct() \
-            .localCheckpoint(eager=True)
+        nodes = truncate(labels.select(F.col("comm").alias("id")).distinct(), "lv_nodes")
         if edges.count() == 0:
             break
     return assignment, len(modularities), modularities

@@ -19,11 +19,54 @@ from storage), which is the standard fix for iterative-DataFrame plan blowup.
 
 from __future__ import annotations
 
+import atexit
+import itertools
 import json
 import os
+import shutil
+import tempfile
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+_TRUNC_ROOT: str | None = None
+_TRUNC_SEQ = itertools.count()
+
+
+def truncate(df: DataFrame, tag: str = "t", keep: int = 2) -> DataFrame:
+    """Stats-safe lineage truncation for iterative loops: parquet round-trip.
+
+    `Dataset.localCheckpoint` truncates lineage but *carries the estimated
+    sizeInBytes statistic* onto the new LogicalRDD
+    (`LogicalRDD.rewriteStatsAndConstraints`, ExistingRDD.scala:263). In a
+    loop whose per-round plan joins the previous state k>=2 times, the
+    size estimate of round n+1 is the *product* of k copies of round n's
+    estimate, so the BigInt's digit count grows as k^round. Around round
+    ~15 with k=3 (Louvain local moves) the driver spends forever in
+    million-digit `BigInteger.multiplyToomCook3` inside
+    `SizeInBytesOnlyStatsPlanVisitor.visitJoin` -- the round-1 Louvain
+    hang (jstack evidence in VERDICT.md). Re-reading from parquet instead
+    resets stats to the actual file size, and doubles as the durable
+    per-superstep state snapshot the north rule asks for.
+
+    Old snapshots for the same tag are deleted (keeping `keep`) so long
+    runs don't fill the disk.
+    """
+    global _TRUNC_ROOT
+    if _TRUNC_ROOT is None:
+        _TRUNC_ROOT = tempfile.mkdtemp(prefix="gds_truncate_")
+        atexit.register(shutil.rmtree, _TRUNC_ROOT, ignore_errors=True)
+    seq = next(_TRUNC_SEQ)
+    path = f"{_TRUNC_ROOT}/{tag}-{seq:06d}"
+    df.write.mode("overwrite").parquet(path)
+    # bounded disk: drop older snapshots of this tag
+    olds = sorted(
+        d for d in os.listdir(_TRUNC_ROOT)
+        if d.startswith(f"{tag}-") and d != f"{tag}-{seq:06d}"
+    )
+    for d in olds[:-max(keep - 1, 0) or None]:
+        shutil.rmtree(f"{_TRUNC_ROOT}/{d}", ignore_errors=True)
+    return df.sparkSession.read.parquet(path)
 
 
 def _has_iceberg(spark: SparkSession) -> bool:

@@ -2,13 +2,24 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 column names, and the order-insensitive multiset of values.
 
-Usage: python tools/check_correctness.py [query ...]
+Hang-proof: a watchdog thread hard-exits the process if any single query
+exceeds --timeout seconds (default 600), after flushing the per-query
+results already gathered to stdout and RESULTS_PATH — so one wedged query
+(round 1: the Louvain localCheckpoint stats explosion) can never void the
+whole artifact. Re-run with `--skip <name>` to grade the rest.
+
+Usage: python tools/check_correctness.py [--timeout S] [--skip name ...] [query ...]
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
+import threading
 import time
+
+RESULTS_PATH = "/tmp/check_correctness_results.json"
 
 import duckdb
 import pandas as pd
@@ -32,7 +43,37 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    timeout_s, skip = 600.0, set()
+    rest = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--timeout":
+            timeout_s = float(argv[i + 1]); i += 2
+        elif argv[i] == "--skip":
+            skip.add(argv[i + 1]); i += 2
+        else:
+            rest.append(argv[i]); i += 1
+    only = set(rest)
+    results: dict[str, str] = {}
+    current = {"name": None, "start": 0.0}
+
+    def _flush():
+        with open(RESULTS_PATH, "w") as f:
+            json.dump(results, f, indent=1)
+
+    def _watchdog():
+        while True:
+            time.sleep(5)
+            name = current["name"]
+            if name and time.time() - current["start"] > timeout_s:
+                results[name] = f"HANG >{timeout_s:.0f}s"
+                _flush()
+                print(f"\nHANG  {name}: exceeded {timeout_s:.0f}s watchdog; "
+                      f"partial results in {RESULTS_PATH}", flush=True)
+                os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     spark = get_spark("correctness_check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -43,20 +84,24 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in queries.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
+        current["name"], current["start"] = name, time.time()
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
+            results[name] = f"spark error: {ex}"; _flush()
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
             if len(sdf) == 0:
                 print(f"  WARNING: empty result")
+            results[name] = f"rows-only: {len(sdf)}"; _flush()
+            current["name"] = None
             continue
         t1 = time.time()
         try:
@@ -64,6 +109,8 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)
+            results[name] = f"duckdb error: {ex}"; _flush()
+            current["name"] = None
             continue
         t_duck = time.time() - t1
         s, o = canon(sdf), canon(odf)
@@ -92,8 +139,12 @@ def main() -> int:
         if status:
             print(f"FAIL  {name}: {'; '.join(status)} [{t_spark:.1f}s/{t_duck:.1f}s]")
             failures.append(name)
+            results[name] = f"FAIL: {'; '.join(status)}"
         else:
             print(f"OK    {name}: {len(s)} rows [{t_spark:.1f}s/{t_duck:.1f}s]")
+            results[name] = "OK"
+        _flush()
+        current["name"] = None
     spark.stop()
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
