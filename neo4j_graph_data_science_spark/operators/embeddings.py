@@ -8,11 +8,11 @@ randomness here is HASH-derived (xxhash64(node, dim, seed)) -- no RNG
 state, so results are identical across cluster sizes and resumes.
 
 Execution shape: the vertex state is an array<double> column. The
-neighbor-mean aggregation uses applyInPandas over the dst partition --
-the Arrow-vectorized per-partition kernel path (numpy column stacking,
-one shuffle by dst per iteration). This is the north-star's "vectorized
-pandas UDFs over per-partition blocks": arrays cross the shuffle as Arrow
-buffers, and per-group math is numpy, never per-row Python.
+neighbor-mean aggregation is pure JVM: posexplode(vec) -> avg per
+(dst, dim) cell -> array_sort(collect_list) reassembly. No Python in the
+iteration hot path, and hub vertices spread across `dim` reducer keys
+(free skew mitigation). The CSR/Arrow per-partition block kernel lives in
+pagerank_csr.py for the algorithms that need per-partition state.
 
 node2vec walks (reference traversal/RandomWalk.java:46): uniform
 first-order walks with hash-based neighbor choice: at step t the walk at
@@ -27,11 +27,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 from ..catalog import DST, SRC, W, SparkGraph
 from ..plans.pregel import prepare_edges
@@ -81,28 +78,39 @@ def fast_rp(graph: SparkGraph, config: FastRPConfig | None = None) -> DataFrame:
         cfg.partitions,
     )
     nodes = graph.nodes.select("id")
-    state = _l2_rows(_sparse_init(nodes, cfg.embedding_dim, cfg.seed)) \
-        .localCheckpoint(eager=True)
-
-    out_schema = StructType([
-        StructField("id", LongType()),
-        StructField("vec", ArrayType(DoubleType())),
-    ])
-
-    def mean_vecs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        m = np.stack(pdf["vec"].values).mean(axis=0)
-        return pd.DataFrame({"id": [key[0]], "vec": [m.tolist()]})
+    init = _sparse_init(nodes, cfg.embedding_dim, cfg.seed)
+    if cfg.normalization_strength != 0.0:
+        # degree^normalizationStrength scaling of the initial random
+        # vectors (FastRP.java:339-342; degree 0 -> scale 1)
+        deg = graph.degrees("UNDIRECTED")
+        scale = F.when(F.col("degree") == 0, F.lit(1.0)).otherwise(
+            F.pow(F.col("degree"), F.lit(float(cfg.normalization_strength)))
+        )
+        init = (
+            init.join(deg, "id", "left").fillna(0.0, ["degree"])
+            .select("id", F.transform("vec", lambda x: x * scale).alias("vec"))
+        )
+    state = _l2_rows(init).localCheckpoint(eager=True)
 
     acc = None
     for i, w in enumerate(cfg.iteration_weights):
         if i > 0:
+            # JVM-side neighbor mean: posexplode the vector, average each
+            # (dst, dim) cell, re-assemble sorted by dim. Stays inside
+            # whole-stage codegen end to end, and the (id, pos) grouping key
+            # spreads a hub vertex's aggregation over `dim` reducers --
+            # built-in skew mitigation that the old one-pandas-group-per-
+            # vertex applyInPandas kernel lacked (round-1 hot spot).
             msgs = (
                 edges.join(state.select(F.col("id").alias(SRC), "vec"), SRC)
-                .select(F.col(DST).alias("id"), "vec")
+                .select(F.col(DST).alias("id"),
+                        F.posexplode("vec").alias("pos", "x"))
+                .groupBy("id", "pos")
+                .agg(F.avg("x").alias("x"))
                 .groupBy("id")
-                .applyInPandas(mean_vecs, out_schema)
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "x")))
+                     .alias("_px"))
+                .select("id", F.col("_px.x").alias("vec"))
             )
             state = _l2_rows(
                 nodes.join(msgs, "id", "left").select(

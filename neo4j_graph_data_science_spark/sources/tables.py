@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import DST, REL, SRC, W, SparkGraph
+from ..catalog import DST, REL, SRC, W, SparkGraph, bucketed_dense_ids
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -40,14 +40,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def event_vertices(events: DataFrame) -> DataFrame:
-    """(event_id, user_id, event_type, id, rn): dense id + per-user rank."""
-    w_all = Window.orderBy("user_id", "ts", "event_id")
+    """(event_id, user_id, event_type, id, rn): dense id + per-user rank.
+
+    Dense id = global row_number over (user_id, ts, event_id) - 1, computed
+    partition-parallel via `bucketed_dense_ids` (64 users per bucket) --
+    identical values to the serial global sort, no single-partition stage.
+    """
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
-        "event_id", "user_id", "event_type",
-        (F.row_number().over(w_all) - 1).cast("long").alias("id"),
+    base = events.select(
+        "event_id", "user_id", "event_type", "ts",
         F.row_number().over(w_user).alias("rn"),
     )
+    return bucketed_dense_ids(
+        base, ["user_id", "ts", "event_id"],
+        F.floor(F.col("user_id") / F.lit(64)),
+    ).select("event_id", "user_id", "event_type", "id", "rn")
 
 
 def event_edges(events: DataFrame, group_mod: int = 50,

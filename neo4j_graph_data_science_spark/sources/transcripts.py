@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import DST, REL, SRC, W, SparkGraph
+from ..catalog import DST, REL, SRC, W, SparkGraph, bucketed_dense_ids
 
 ROLES = ["user", "assistant", "system", "tool"]
 TOOLS = ["search", "code", "sql", "browse", "files", "math", "plot", "shell"]
@@ -93,10 +93,13 @@ def transcript_id_map(transcripts: DataFrame, dense: bool = True) -> DataFrame:
     this map either way.
     """
     if dense:
-        w = Window.orderBy("conv_id", "turn_idx")
-        return (
-            transcripts.select("conv_id", "turn_idx")
-            .withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+        # partition-parallel dense ranking: conv_id is fixed-width
+        # ("conv_%06d"), so a 9-char prefix buckets ~100 convs and is
+        # monotonic in string order -> identical ids to a global sort
+        return bucketed_dense_ids(
+            transcripts.select("conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+            F.substring("conv_id", 1, 9),
         )
     return transcripts.select("conv_id", "turn_idx").withColumn(
         "id",
