@@ -418,6 +418,17 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5 family: bit-for-bit replicable in DuckDB (oracle parity mode)
+    corpus = _doc_corpus(spark, sf_dir)
+    sh = char_shingles(corpus, k=5)
+    sig = minhash_signatures(sh, num_hashes=16, hash_family="md5")
+    pairs = lsh_candidate_pairs(sig, bands=4)
+    return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default int64 xxhash64 minhash family -- the production/bench path
+    (no DuckDB equivalent hash, so rows-only)."""
     corpus = _doc_corpus(spark, sf_dir)
     sh = char_shingles(corpus, k=5)
     sig = minhash_signatures(sh, num_hashes=16)
@@ -466,10 +477,25 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    out = cosine_near_duplicates(emb, threshold=-2.0)  # filter on rounded value below
+    # exact mode = the oracle-parity path; threshold slightly below the
+    # rounded filter so borderline 0.449996-rounds-to-0.45 pairs survive
+    out = cosine_near_duplicates(emb, threshold=0.4499, method="exact")
     return out.select(
         "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
     ).filter(F.col("cosine") >= 0.45)
+
+
+def q_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH prefilter + exact verify -- the scale path
+    (recall < 1 by design, so rows-only). Band shape (8 bands x 2 planes)
+    is tuned for this query's LOW threshold (0.45 = wide angle); real
+    near-dup thresholds (>=0.9) use the default 4x4."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = cosine_near_duplicates(emb, threshold=0.45, method="lsh",
+                                 bands=8, planes_per_band=2)
+    return out.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
 
 
 def q_vector_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_events_sub": q_random_walks,
         "ann_lsh_topk": q_ann_lsh,
         "simhash_docs": q_simhash,
+        "minhash_lsh_fast": q_minhash_lsh_fast,
+        "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "transcript_pagerank": q_transcript_pagerank,
         "triangle_stream_events": q_triangle_stream,
     }

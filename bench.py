@@ -59,7 +59,9 @@ def main() -> None:
     g = events_graph(spark, sf_dir)
     n_edges = g.edges.count()
     t0 = time.time()
-    res = page_rank(g, PageRankConfig(max_iterations=21, tolerance=1e-7))
+    # run to actual 1e-6 convergence (north-star metric is convergence-
+    # gated; round 1 mislabeled an iteration-capped run)
+    res = page_rank(g, PageRankConfig(max_iterations=100, tolerance=1e-6))
     res.state.count()
     pr_wall = time.time() - t0
     timings["pagerank_events"] = round(pr_wall, 3)
@@ -78,8 +80,9 @@ def main() -> None:
         gp, TriangleCountConfig()).agg(F.sum("triangles")).collect())
 
     q = entrymod.queries()
-    for name in ("degree_events", "minhash_lsh_docs", "ann_topk",
-                 "node_similarity_customers", "token_stats_docs"):
+    for name in ("degree_events", "minhash_lsh_fast", "ann_topk",
+                 "node_similarity_customers", "token_stats_docs",
+                 "betweenness_parts_mod", "cosine_near_dup_lsh"):
         timed(name, lambda n=name: q[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

@@ -128,16 +128,75 @@ def cosine_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    bands: int = 4,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """(vec_a, vec_b, cosine): all pairs above threshold, a < b.
+    """(vec_a, vec_b, cosine): pairs above threshold, a < b.
 
-    Exact all-pairs -- O(N^2) scoring; at scale gate behind LSH buckets
-    (lsh_topk's signature join) and verify candidates exactly.
+    method="lsh" (default, the scale path): banded random-hyperplane
+    prefilter -- two vectors are candidates iff ALL planes of at least one
+    band agree on sign; candidates are then scored exactly. With b bands of
+    r planes, a pair at angle theta survives with prob
+    1-(1-(1-theta/pi)^r)^b: ~0.99 at cosine 0.95 for b=4, r=4, while the
+    bucket join never materializes the quadratic pair space.
+
+    method="exact": all-pairs O(N^2) scoring -- the oracle/verifier path,
+    and the within-bucket scorer the LSH path reuses.
     """
     a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    if method == "exact":
+        return (
+            a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b",
+                    cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bands * planes_per_band, seed)
+    spark = corpus.sparkSession
+    # planes as a broadcast table (one row per plane) instead of inlined
+    # literal-array expressions: keeps each codegen'd expression a single
+    # zip_with, so plan compile time stays flat as bands x planes grows
+    planes_df = spark.createDataFrame(
+        [(i, i // planes_per_band, planes[i]) for i in range(len(planes))],
+        "plane_idx int, band int, coefs array<double>",
+    )
+    bits = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .join(F.broadcast(planes_df))
+        .select(
+            "_id", "band", "plane_idx",
+            (F.aggregate(
+                F.zip_with("_v", "coefs", lambda u, v: u.cast("double") * v),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ) >= 0).cast("int").alias("bit"),
+        )
+    )
+    band_sig = (
+        bits.groupBy("_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("plane_idx", "bit"))).alias("_pb"))
+        .select("_id", "band",
+                F.concat_ws("", F.col("_pb.bit").cast("array<string>")).alias("_sig"))
+    )
+    cand = (
+        band_sig.select(F.col("_id").alias("vec_a"), "band", "_sig")
+        .join(band_sig.select(F.col("_id").alias("vec_b"), "band", "_sig"),
+              ["band", "_sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
+        cand.join(va, "vec_a").join(vb, "vec_b")
+        .select("vec_a", "vec_b",
+                cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -51,25 +51,35 @@ def char_shingles(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
     )
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """(doc_id, sig: array<string>): sig[i] = min over shingles of
-    md5(i || ':' || shingle). Lexicographic min over hex = a valid uniform
-    min-hash family, identical across engines.
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16,
+                       hash_family: str = "xxhash64") -> DataFrame:
+    """(doc_id, sig): sig[i] = min over shingles of hash_i(shingle).
 
-    Execution shape: all k hashes are computed IN-ROW (k md5 columns per
-    shingle row) and reduced with k min-aggregates in ONE groupBy(doc_id) --
-    no k-fold explode, no (doc_id, seed) shuffle. The shuffle carries
-    |docs| x k strings after map-side combine instead of |shingles| x k
-    rows; at 100 TB that is the difference between a combiner-friendly
-    single pass and a k-times-larger intermediate."""
-    mins = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-            ).alias(f"_m{i}")
+    hash_family:
+      * "xxhash64" (default): hash_i = xxhash64(i, shingle) -> array<bigint>.
+        Integer min through the shuffle; this is the bench/production path
+        (round 1 showed the md5 family alone was 53% of the sf0.1 suite).
+      * "md5": hash_i = md5(i || ':' || shingle), min taken
+        LEXICOGRAPHICALLY over hex -> array<string>. Kept because DuckDB
+        has md5 but no xxhash64, so the oracle-verified contract query can
+        replicate it bit-for-bit.
+
+    Execution shape (both families): all k hashes are computed IN-ROW
+    (k columns per shingle row) and reduced with k min-aggregates in ONE
+    groupBy(doc_id) -- no k-fold explode, no (doc_id, seed) shuffle. The
+    shuffle carries |docs| x k values after map-side combine instead of
+    |shingles| x k rows."""
+    if hash_family == "md5":
+        cols = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"_m{i}")
             for i in range(num_hashes)
         ]
-    )
+    else:
+        cols = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    mins = shingles.groupBy("doc_id").agg(*cols)
     return mins.select(
         "doc_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -80,16 +90,19 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     fraction of matching minhash positions."""
     sig_len_df = signatures.select(F.size("sig").alias("_l")).limit(1).collect()
     rows_per_band = (sig_len_df[0]["_l"] if sig_len_df else bands) // bands
+    sig_is_str = dict(signatures.dtypes).get("sig") == "array<string>"
+    band_slice = F.slice(
+        F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band
+    )
+    # md5-of-concat for the string (oracle-parity) family so DuckDB can
+    # mirror it; xxhash64 of the sliced array for the int64 family
+    band_hash = (F.md5(F.concat_ws("|", band_slice)) if sig_is_str
+                 else F.xxhash64(band_slice).cast("string"))
     banded = signatures.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
         F.col("sig"),
-    ).select(
-        "doc_id", "band",
-        F.md5(F.concat_ws("|", F.slice(
-            F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band
-        ))).alias("band_hash"),
-    )
+    ).select("doc_id", "band", band_hash.alias("band_hash"))
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     cand = (
