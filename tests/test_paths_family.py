@@ -1,0 +1,86 @@
+"""Shortest-path family with path objects: Dijkstra/A*/Yens/Bellman-Ford/
+delta-stepping vs hand-checked fixtures (Yens uses the textbook example
+from the reference's paths/yens tests)."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_graph_data_science_spark.catalog import from_edge_list
+from neo4j_graph_data_science_spark.operators.paths import (
+    PathConfig,
+    astar,
+    bellman_ford,
+    delta_stepping,
+    dijkstra,
+    shortest_paths,
+    yens,
+)
+
+# 0->1 w4, 0->2 w1, 2->1 w2, 1->3 w1, 2->3 w5
+WG = [(0, 1, 4.0), (0, 2, 1.0), (2, 1, 2.0), (1, 3, 1.0), (2, 3, 5.0)]
+
+
+def test_dijkstra_paths(spark):
+    g = from_edge_list(spark, WG, n_nodes=4)
+    rows = {r["target"]: r for r in dijkstra(g, 0).collect()}
+    assert rows[1]["total_cost"] == 3.0
+    assert list(rows[1]["node_ids"]) == [0, 2, 1]
+    assert list(rows[1]["costs"]) == [0.0, 1.0, 3.0]
+    assert rows[3]["total_cost"] == 4.0
+    assert list(rows[3]["node_ids"]) == [0, 2, 1, 3]
+    assert rows[2]["total_cost"] == 1.0
+
+
+def test_dijkstra_source_target(spark):
+    g = from_edge_list(spark, WG, n_nodes=4)
+    rows = dijkstra(g, 0, target=3).collect()
+    assert len(rows) == 1 and rows[0]["total_cost"] == 4.0
+
+
+def test_astar_matches_dijkstra(spark):
+    g = from_edge_list(spark, WG, n_nodes=4)
+    # admissible heuristic: true remaining distance to 3 (tightest bound)
+    h = spark.createDataFrame([(0, 4.0), (1, 1.0), (2, 3.0), (3, 0.0)],
+                              "id long, h double")
+    rows = astar(g, 0, 3, h).collect()
+    assert len(rows) == 1
+    assert rows[0]["total_cost"] == 4.0
+    assert list(rows[0]["node_ids"]) == [0, 2, 1, 3]
+
+
+def test_yens_k3(spark):
+    # Yen's classic example: C0 D1 E2 F3 G4 H5
+    edges = [(0, 1, 3.0), (0, 2, 2.0), (1, 3, 4.0), (2, 1, 1.0),
+             (2, 3, 2.0), (2, 4, 3.0), (3, 4, 2.0), (3, 5, 1.0), (4, 5, 2.0)]
+    g = from_edge_list(spark, edges, n_nodes=6)
+    rows = yens(g, 0, 5, k=3).collect()
+    got = [(r["total_cost"], list(r["node_ids"])) for r in rows]
+    assert got[0] == (5.0, [0, 2, 3, 5])
+    assert got[1] == (7.0, [0, 2, 4, 5])
+    assert got[2][0] == 8.0
+
+
+def test_bellman_ford_negative_cycle(spark):
+    edges = [(0, 1, 1.0), (1, 2, -1.0), (2, 1, -1.0), (2, 3, 1.0), (0, 4, 5.0)]
+    g = from_edge_list(spark, edges, n_nodes=5)
+    rows = {r["id"]: r for r in bellman_ford(g, 0).collect()}
+    assert not rows[0]["in_negative_cycle"] and rows[0]["dist"] == 0.0
+    assert not rows[4]["in_negative_cycle"] and rows[4]["dist"] == 5.0
+    for v in (1, 2, 3):
+        assert rows[v]["in_negative_cycle"]
+        assert rows[v]["dist"] == float("-inf")
+
+
+def test_bellman_ford_no_cycle(spark):
+    g = from_edge_list(spark, WG, n_nodes=4)
+    rows = {r["id"]: r for r in bellman_ford(g, 0).collect()}
+    assert all(not r["in_negative_cycle"] for r in rows.values())
+    assert rows[3]["dist"] == 4.0
+
+
+def test_delta_stepping_matches_sssp(spark):
+    g = from_edge_list(spark, WG, n_nodes=4)
+    exact = {r["id"]: r["dist"] for r in shortest_paths(g, [0]).collect()}
+    ds = {r["id"]: r["dist"] for r in delta_stepping(g, 0, delta=2.0).collect()}
+    assert ds == pytest.approx(exact)
