@@ -598,6 +598,74 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("id", "community")
 
 
+def q_dijkstra_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dijkstra from node 0 on the SCC event subgraph with deterministic
+    synthetic weights w = 1 + (src*7 + dst*13) % 5; returns actual path
+    objects (target, total_cost, path string)."""
+    from neo4j_graph_data_science_spark.operators.paths import dijkstra
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    weighted = g.edges.withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(5)))
+        .cast("double"),
+    )
+    gw = SparkGraph(nodes=g.nodes, edges=weighted)
+    res = dijkstra(gw, 0)
+    return res.select(
+        "target",
+        F.round("total_cost", 6).alias("total_cost"),
+        F.array_join(F.col("node_ids").cast("array<string>"), "->").alias("path"),
+    )
+
+
+def _dijkstra_sql(levels: int = 24) -> str:
+    """Oracle: unrolled Bellman-Ford fixpoint for distances, deterministic
+    predecessor = min in-neighbor on an optimal edge, then a recursive-CTE
+    pred-chain walk to rebuild each path (mirrors operators/paths.py
+    dijkstra + _deterministic_predecessors)."""
+    inf = "1e18"
+    ctes = [f"""ew AS MATERIALIZED (
+  SELECT src, dst, MIN(1 + (src * 7 + dst * 13) % 5)::DOUBLE AS w
+  FROM raw_edges GROUP BY src, dst
+)""", f"""d0 AS (
+  SELECT id, CASE WHEN id = 0 THEN 0.0 ELSE {inf} END AS dist FROM nodes
+)"""]
+    prev = "d0"
+    for i in range(1, levels + 1):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+  SELECT n.id, LEAST(n.dist, COALESCE(m.cand, {inf})) AS dist
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS id, MIN(u.dist + e.w) AS cand
+    FROM ew e JOIN {prev} u ON e.src = u.id WHERE u.dist < {inf}
+    GROUP BY e.dst
+  ) m ON n.id = m.id
+)""")
+        prev = f"d{i}"
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+{', '.join(ctes)},
+dist AS (SELECT * FROM {prev} WHERE dist < {inf}),
+pred AS (
+  SELECT e.dst AS id, MIN(e.src) AS pred
+  FROM ew e JOIN dist u ON e.src = u.id JOIN dist v ON e.dst = v.id
+  WHERE ABS(u.dist + e.w - v.dist) < 1e-9
+  GROUP BY e.dst
+),
+walk(target, cur, path) AS (
+  SELECT id AS target, id AS cur, [id] AS path FROM dist WHERE id <> 0
+  UNION ALL
+  SELECT w.target, p.pred AS cur, list_prepend(p.pred, w.path) AS path
+  FROM walk w JOIN pred p ON w.cur = p.id
+  WHERE w.cur <> 0
+)
+SELECT w.target, ROUND(d.dist, 6) AS total_cost,
+       array_to_string(w.path, '->') AS path
+FROM walk w JOIN dist d ON w.target = d.id
+WHERE w.cur = 0
+ORDER BY w.target"""
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Brandes betweenness on the part co-occurrence graph contracted
     to 120 hash buckets (small diameter so the DuckDB oracle's unrolled-BFS
@@ -770,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_lpa_events": q_conductance_lpa,
         "wcc_consecutive_events": q_wcc_consecutive,
         "betweenness_parts_mod": q_betweenness,
+        "dijkstra_paths_events_sub": q_dijkstra_paths,
         # rows-only (non-SQL-expressible or Spark-dialect hashes)
         "kcore_events_sub": q_kcore,
         "k1coloring_events": q_k1coloring,
@@ -1096,6 +1165,7 @@ dr AS (SELECT id, component, dense_rank() OVER (ORDER BY component) - 1 AS new_c
 SELECT id, new_c::BIGINT AS component FROM dr ORDER BY id""",
         "hits_events": _hits_sql(8),
         "betweenness_parts_mod": _betweenness_sql(),
+        "dijkstra_paths_events_sub": _dijkstra_sql(),
         "harmonic_events_sub": f"""WITH RECURSIVE {_SCC_SUB},
 {_ev_ctes("events_sub")},
 edges_d AS (SELECT DISTINCT src, dst FROM raw_edges),

@@ -159,3 +159,321 @@ def topological_sort(graph: SparkGraph, max_iterations: int = 10000) -> DataFram
     for df in levels[1:]:
         out = out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# shortest paths WITH path objects (Dijkstra / A* / Yens / Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+def _deterministic_predecessors(edges: DataFrame, dist: DataFrame) -> DataFrame:
+    """(id, pred): pred(v) = min u among in-neighbors with
+    dist(u) + w(u,v) == dist(v). Computed AFTER the distance fixpoint so the
+    choice is a pure function of the converged distances (round-timing
+    independent, mirrorable in SQL by the oracle)."""
+    du = dist.select(F.col("id").alias(SRC), F.col("dist").alias("_du"))
+    dv = dist.select(F.col("id").alias(DST), F.col("dist").alias("_dv"))
+    return (
+        edges.join(du, SRC).join(dv, DST)
+        .filter(F.abs(F.col("_du") + F.col(W) - F.col("_dv")) < 1e-9)
+        .groupBy(F.col(DST).alias("id"))
+        .agg(F.min(SRC).alias("pred"))
+    )
+
+
+def _reconstruct_paths(dist: DataFrame, preds: DataFrame, source: int,
+                       max_len: int = 200) -> DataFrame:
+    """(target, total_cost, node_ids): backtrack pred pointers from every
+    reachable target to the source; O(max path length) joins."""
+    walk = (
+        dist.filter((F.col("dist") != INF) & (F.col("id") != source))
+        .select(F.col("id").alias("target"), F.col("dist").alias("total_cost"),
+                F.col("id").alias("_cur"), F.array("id").alias("node_ids"))
+        .localCheckpoint(eager=True)
+    )
+    done = []
+    pmap = preds.select(F.col("id").alias("_cur"), "pred").localCheckpoint(eager=True)
+    for _ in range(max_len):
+        if walk.isEmpty():
+            break
+        walk = (
+            walk.join(pmap, "_cur")
+            .select("target", "total_cost", F.col("pred").alias("_cur"),
+                    F.concat(F.array("pred"), "node_ids").alias("node_ids"))
+            .localCheckpoint(eager=True)
+        )
+        arrived = walk.filter(F.col("_cur") == source)
+        done.append(arrived.select("target", "total_cost", "node_ids"))
+        walk = walk.filter(F.col("_cur") != source)
+    if not done:
+        schema_df = dist.sparkSession.createDataFrame(
+            [], "target long, total_cost double, node_ids array<bigint>")
+        return schema_df
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def dijkstra(graph: SparkGraph, source: int, target: int | None = None,
+             config: PathConfig | None = None) -> DataFrame:
+    """Single-source (or source-target) shortest paths WITH path objects:
+    (source, target, total_cost, node_ids, costs).
+
+    Reference shape: paths/dijkstra/Dijkstra.java:43 producing PathResult
+    {sourceNode, targetNode, totalCost, nodeIds, costs}. The distance
+    fixpoint is the Bellman-Ford relaxation (equal to Dijkstra's output for
+    non-negative weights); predecessors are then derived deterministically
+    from converged distances, and paths by pred-chain backtracking.
+    """
+    cfg = config or PathConfig()
+    e = graph.aggregated_edges("MIN").localCheckpoint(eager=True)
+    dist = shortest_paths(graph, [source], cfg)
+    preds = _deterministic_predecessors(e, dist)
+    paths = _reconstruct_paths(dist, preds, source, cfg.max_iterations)
+    if target is not None:
+        paths = paths.filter(F.col("target") == target)
+    dmap = dist.select(F.col("id").alias("_n"), F.col("dist").alias("_nd"))
+    costs = (
+        paths.select("target", F.posexplode("node_ids").alias("pos", "_n"))
+        .join(dmap, "_n")
+        .groupBy("target")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_nd"))).alias("_pc"))
+        .select("target", F.col("_pc._nd").alias("costs"))
+    )
+    return (
+        paths.join(costs, "target")
+        .select(F.lit(source).cast("long").alias("source"), "target",
+                "total_cost", "node_ids", "costs")
+    )
+
+
+def astar(graph: SparkGraph, source: int, target: int,
+          heuristic: DataFrame, config: PathConfig | None = None) -> DataFrame:
+    """A* source-target shortest path (paths/astar/AStar.java:36).
+
+    `heuristic` is (id, h) with h an admissible lower bound on the remaining
+    cost to `target` (GDS uses haversine over lat/lon properties). The
+    distributed formulation is branch-and-bound pruned relaxation: a frontier
+    row is expanded only while dist(v) + h(v) < best known target distance --
+    the same node-skipping A*'s priority queue achieves, expressed as a
+    filter, still exact for admissible h.
+    """
+    cfg = config or PathConfig()
+    e = graph.aggregated_edges("MIN")
+    edges = prepare_edges(e, cfg.partitions)
+    h = heuristic.select("id", F.col("h").cast("double"))
+    state = graph.nodes.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
+        (F.col("id") == source).alias("changed"),
+    ).localCheckpoint(eager=True)
+    for _ in range(cfg.max_iterations):
+        best_t = state.filter(F.col("id") == target).select("dist").collect()[0][0]
+        frontier = (
+            state.filter(F.col("changed") & (F.col("dist") != INF))
+            .join(h, "id", "left").fillna(0.0, ["h"])
+            .filter(F.col("dist") + F.col("h") < F.lit(best_t))
+        )
+        if frontier.isEmpty():
+            break
+        cands = (
+            edges.join(frontier.select(F.col("id").alias(SRC),
+                                       F.col("dist").alias("_sd")), SRC)
+            .select(F.col(DST).alias("id"), (F.col("_sd") + F.col(W)).alias("_cand"))
+            .groupBy("id").agg(F.min("_cand").alias("cand"))
+        )
+        state = (
+            state.join(cands, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))).alias("dist"),
+                (F.coalesce("cand", F.lit(INF)) < F.col("dist")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    dist = state.select("id", "dist").filter(F.col("dist") != INF)
+    e2 = graph.aggregated_edges("MIN")
+    preds = _deterministic_predecessors(e2, dist)
+    return (
+        _reconstruct_paths(dist, preds, source, cfg.max_iterations)
+        .filter(F.col("target") == target)
+        .select(F.lit(source).cast("long").alias("source"), "target",
+                "total_cost", "node_ids")
+    )
+
+
+def yens(graph: SparkGraph, source: int, target: int, k: int = 3,
+         config: PathConfig | None = None) -> DataFrame:
+    """Yen's K shortest loopless paths (paths/yens/Yens.java:39).
+
+    Driver loop over spur nodes of already-found paths (bounded by
+    k * path length); each candidate is one Dijkstra on a filtered edge
+    set -- the standard spur/root decomposition, with the graph work fully
+    distributed per candidate. Returns (index, source, target, total_cost,
+    node_ids) for up to k paths, ordered by cost.
+    """
+    cfg = config or PathConfig()
+    first = dijkstra(graph, source, target, cfg).collect()
+    if not first:
+        return graph.nodes.sparkSession.createDataFrame(
+            [], "index long, source long, target long, total_cost double, "
+                "node_ids array<bigint>")
+    paths = [(first[0]["total_cost"], list(first[0]["node_ids"]))]
+    candidates: list[tuple[float, list[int]]] = []
+    edges_base = graph.aggregated_edges("MIN").localCheckpoint(eager=True)
+    for _ in range(1, k):
+        cost_prev, p_prev = paths[-1]
+        for i in range(len(p_prev) - 1):
+            spur, root = p_prev[i], p_prev[:i + 1]
+            root_set = set(root[:-1])
+            # remove edges used by any found path sharing this root, and
+            # all root nodes except the spur (loopless constraint)
+            removed = {(p[i], p[i + 1]) for c, p in paths
+                       if len(p) > i + 1 and p[:i + 1] == root}
+            cond = F.lit(False)
+            for (u, v) in removed:
+                cond = cond | ((F.col(SRC) == u) & (F.col(DST) == v))
+            e = edges_base.filter(~cond)
+            if root_set:
+                e = e.filter(~F.col(SRC).isin(list(root_set))
+                             & ~F.col(DST).isin(list(root_set)))
+            sub = SparkGraph(nodes=graph.nodes, edges=e)
+            spur_rows = dijkstra(sub, spur, target, cfg).collect()
+            if not spur_rows:
+                continue
+            root_cost = 0.0
+            ew = {(r[SRC], r[DST]): r[W] for r in edges_base.filter(
+                F.col(SRC).isin(root) & F.col(DST).isin(root)).collect()}
+            for a, b in zip(root[:-1], root[1:]):
+                root_cost += ew.get((a, b), 0.0)
+            total = root_cost + spur_rows[0]["total_cost"]
+            full = root[:-1] + list(spur_rows[0]["node_ids"])
+            if (total, full) not in candidates and full not in [p for _, p in paths]:
+                candidates.append((total, full))
+        if not candidates:
+            break
+        candidates.sort(key=lambda t: (t[0], t[1]))
+        paths.append(candidates.pop(0))
+    edges_base.unpersist()
+    rows = [(i, source, p[-1], c, p) for i, (c, p) in enumerate(paths)]
+    return graph.nodes.sparkSession.createDataFrame(
+        rows, "index long, source long, target long, total_cost double, "
+              "node_ids array<bigint>")
+
+
+def bellman_ford(graph: SparkGraph, source: int,
+                 config: PathConfig | None = None) -> DataFrame:
+    """(id, dist, in_negative_cycle): Bellman-Ford with negative-cycle
+    detection (paths/bellmanford/BellmanFord.java:49). Nodes still relaxing
+    after V rounds are on / downstream of a negative cycle; their dist is
+    reported as -inf, like the reference marks negative-cycle results."""
+    cfg = config or PathConfig()
+    n = graph.nodes.count()
+    e = graph.aggregated_edges("MIN")
+    edges = prepare_edges(e, cfg.partitions)
+    state = graph.nodes.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
+        (F.col("id") == source).alias("changed"),
+    ).localCheckpoint(eager=True)
+    changed_after_v = False
+    for rnd in range(n + 1):
+        frontier = state.filter(F.col("changed") & (F.col("dist") != INF))
+        if frontier.isEmpty():
+            break
+        cands = (
+            edges.join(frontier.select(F.col("id").alias(SRC),
+                                       F.col("dist").alias("_sd")), SRC)
+            .select(F.col(DST).alias("id"), (F.col("_sd") + F.col(W)).alias("_cand"))
+            .groupBy("id").agg(F.min("_cand").alias("cand"))
+        )
+        state = (
+            state.join(cands, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))).alias("dist"),
+                (F.coalesce("cand", F.lit(INF)) < F.col("dist")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed_after_v = rnd >= n - 1
+    edges.unpersist()
+    if changed_after_v and not state.filter(F.col("changed")).isEmpty():
+        # propagate the negative-cycle taint to everything reachable from
+        # still-changing nodes (their true distance is unbounded below):
+        # a BFS closure over the same edge set
+        seeds = state.filter(F.col("changed")).select("id")
+        tainted = bfs(graph, [r["id"] for r in seeds.collect()],
+                      PathConfig(max_iterations=cfg.max_iterations)).select("id")
+        return (
+            state.join(tainted.withColumn("_t", F.lit(True)), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("_t"), F.lit(float("-inf"))).otherwise(F.col("dist"))
+                .alias("dist"),
+                F.coalesce("_t", F.lit(False)).alias("in_negative_cycle"),
+            )
+        )
+    return state.select("id", "dist", F.lit(False).alias("in_negative_cycle"))
+
+
+def delta_stepping(graph: SparkGraph, source: int, delta: float = 2.0,
+                   config: PathConfig | None = None) -> DataFrame:
+    """(id, dist): delta-stepping SSSP with real bucket scheduling
+    (paths/delta/DeltaStepping.java:51): settle bucket b = [b*delta,
+    (b+1)*delta) by repeated LIGHT-edge (w <= delta) relaxation inside the
+    bucket, then one HEAVY-edge pass, then advance to the next non-empty
+    bucket. Non-negative weights only."""
+    cfg = config or PathConfig()
+    e = graph.aggregated_edges("MIN")
+    light = prepare_edges(e.filter(F.col(W) <= delta), cfg.partitions)
+    heavy = e.filter(F.col(W) > delta).localCheckpoint(eager=True)
+    state = graph.nodes.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
+        (F.col("id") == source).alias("changed"),
+    ).localCheckpoint(eager=True)
+
+    def relax(st: DataFrame, edge_df: DataFrame, in_bucket) -> DataFrame:
+        # `changed` is the PENDING (unsettled) set, not a per-round flag:
+        # nodes outside the processed bucket keep their pending mark, nodes
+        # inside it stay pending only if this relaxation improved them again
+        frontier = st.filter(F.col("changed") & (F.col("dist") != INF) & in_bucket)
+        cands = (
+            edge_df.join(frontier.select(F.col("id").alias(SRC),
+                                         F.col("dist").alias("_sd")), SRC)
+            .select(F.col(DST).alias("id"), (F.col("_sd") + F.col(W)).alias("_cand"))
+            .groupBy("id").agg(F.min("_cand").alias("cand"))
+        )
+        return (
+            st.join(cands, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))).alias("dist"),
+                (
+                    (F.coalesce("cand", F.lit(INF)) < F.col("dist"))
+                    | (F.col("changed") & ~in_bucket)
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(cfg.max_iterations):
+        nxt = state.filter(F.col("changed") & (F.col("dist") != INF)) \
+            .agg(F.min(F.floor(F.col("dist") / delta))).collect()[0][0]
+        if nxt is None:
+            break
+        b = int(nxt)
+        in_b = F.floor(F.col("dist") / delta) == b
+        for _ in range(cfg.max_iterations):
+            new_state = relax(state, light, in_b)
+            still = new_state.filter(
+                F.col("changed") & (F.floor(F.col("dist") / delta) == b)
+            ).isEmpty()
+            state = new_state
+            if still:
+                break
+        state = relax(state, heavy, F.floor(F.col("dist") / delta) == b)
+    light.unpersist()
+    return state.select("id", "dist").filter(F.col("dist") != INF)
