@@ -736,6 +736,17 @@ FROM nodes LEFT JOIN bcv ON nodes.id = bcv.id
 ORDER BY id"""
 
 
+def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.leiden import (
+        LeidenConfig, leiden,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    labels, _, _ = leiden(g, LeidenConfig(max_levels=3, max_local_moves=8,
+                                          max_refine_moves=4))
+    return labels.select("id", "community")
+
+
 def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.operators.embeddings import (
         FastRPConfig, fast_rp,
@@ -843,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_events_sub": q_kcore,
         "k1coloring_events": q_k1coloring,
         "louvain_events_sub": q_louvain,
+        "leiden_events_sub": q_leiden,
         "fastrp_events_sub": q_fastrp,
         "random_walks_events_sub": q_random_walks,
         "ann_lsh_topk": q_ann_lsh,

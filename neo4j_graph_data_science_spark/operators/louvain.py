@@ -84,7 +84,8 @@ def _local_moves(edges: DataFrame, nodes: DataFrame, max_rounds: int) -> DataFra
         # guard); _pending tracks improving nodes of EITHER parity so the
         # fixpoint check needs no extra pass. One materialization + one
         # cache-read agg per round.
-        parity = F.pmod(F.xxhash64("id"), F.lit(2)) == (rnd % 2)
+        # round-seeded parity (see leiden._moves): fixed classes oscillate
+        parity = F.pmod(F.xxhash64("id", F.lit(rnd)), F.lit(2)) == 0
         improving = F.col("_best").isNotNull() & (F.col("_best") != F.col("comm")) \
             & (F.col("_gain") > 0)
         labels_new = (

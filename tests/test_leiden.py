@@ -1,0 +1,50 @@
+"""Leiden: community structure on planted partitions (the reference's own
+tests assert structure, not labels) + resolution-parameter behavior."""
+
+from __future__ import annotations
+
+from neo4j_graph_data_science_spark.catalog import from_edge_list
+from neo4j_graph_data_science_spark.operators.leiden import LeidenConfig, leiden
+from neo4j_graph_data_science_spark.operators.community import modularity
+
+
+def test_leiden_two_triangles(spark):
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    g = from_edge_list(spark, tri1 + tri2 + [(2, 3)], n_nodes=6)
+    labels, levels, mods = leiden(g, LeidenConfig())
+    got = {r["id"]: r["community"] for r in labels.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    assert levels >= 1 and mods[-1] > 0.3
+
+
+def test_leiden_planted_cliques_beat_singletons(spark):
+    edges = []
+    for c in range(3):
+        base = c * 5
+        for a in range(5):
+            for b in range(a + 1, 5):
+                edges.append((base + a, base + b))
+    edges += [(0, 5), (5, 10), (10, 0)]
+    g = from_edge_list(spark, edges, n_nodes=15)
+    labels, levels, mods = leiden(g, LeidenConfig())
+    comm = {r["id"]: r["community"] for r in labels.collect()}
+    for c in range(3):
+        assert len({comm[c * 5 + i] for i in range(5)}) == 1
+    singleton_q = modularity(
+        g, g.nodes.selectExpr("id", "id as community"), "community"
+    ).collect()[0]["modularity"]
+    assert mods[-1] > singleton_q
+
+
+def test_leiden_high_gamma_splits(spark):
+    # higher resolution favors smaller communities: with a large gamma the
+    # two loosely-linked triangles must NOT merge into one community
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    g = from_edge_list(spark, tri1 + tri2 + [(2, 3)], n_nodes=6)
+    labels, _, _ = leiden(g, LeidenConfig(gamma=2.0))
+    got = {r["id"]: r["community"] for r in labels.collect()}
+    assert got[0] != got[3]
