@@ -747,6 +747,32 @@ def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("id", "community")
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embeddings table (rows-only: KMeans|| init order is
+    scheduling-dependent in tie cases)."""
+    from neo4j_graph_data_science_spark.operators.clustering import (
+        KmeansConfig, kmeans,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    res = kmeans(emb, KmeansConfig(k=8, seed=42), id_col="vec_id")
+    return res.select("id", "community",
+                      F.round("distance_from_centroid", 4).alias("dist"))
+
+
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec walks + Word2Vec SGNS on the SCC event subgraph
+    (rows-only: SGD training is scheduling-dependent)."""
+    from neo4j_graph_data_science_spark.operators.embeddings import (
+        Node2VecConfig, node2vec,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    emb = node2vec(g, Node2VecConfig(embedding_dim=16, walk_length=8,
+                                     walks_per_node=4, iterations=1))
+    return emb.select("id", F.size("embedding").alias("dim"))
+
+
 def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.operators.embeddings import (
         FastRPConfig, fast_rp,
@@ -855,6 +881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1coloring_events": q_k1coloring,
         "louvain_events_sub": q_louvain,
         "leiden_events_sub": q_leiden,
+        "kmeans_embeddings": q_kmeans,
+        "node2vec_events_sub": q_node2vec,
         "fastrp_events_sub": q_fastrp,
         "random_walks_events_sub": q_random_walks,
         "ann_lsh_topk": q_ann_lsh,

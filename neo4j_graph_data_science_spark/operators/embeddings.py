@@ -195,3 +195,48 @@ def random_walks(graph: SparkGraph, config: RandomWalkConfig | None = None) -> D
     for p in paths[1:]:
         out = out.unionByName(p)
     return out
+
+
+@dataclass
+class Node2VecConfig:
+    embedding_dim: int = 64
+    walk_length: int = 10
+    walks_per_node: int = 2
+    window_size: int = 5
+    iterations: int = 1
+    min_count: int = 0
+    seed: int = 42
+
+
+def node2vec(graph: SparkGraph, config: Node2VecConfig | None = None) -> DataFrame:
+    """(id, embedding: array<double>): full node2vec = hash-deterministic
+    uniform walks (GDS default p=q=1) fed into Spark ML's Word2Vec
+    (skip-gram with negative sampling / hierarchical softmax) -- the SGNS
+    training stage of embeddings/node2vec/Node2Vec.java:39, which round 1
+    left unimplemented. Training is distributed by Word2Vec's own
+    partitioned SGD; exact float values vary with scheduling, so tests
+    assert embedding QUALITY (same-community similarity) not exact values,
+    like the reference's own node2vec tests."""
+    from pyspark.ml.feature import Word2Vec
+
+    cfg = config or Node2VecConfig()
+    walks = random_walks(graph, RandomWalkConfig(
+        walk_length=cfg.walk_length, walks_per_node=cfg.walks_per_node,
+        seed=cfg.seed))
+    sents = (
+        walks.groupBy("walk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("step", "node"))).alias("_sn"))
+        .select(F.transform("_sn.node", lambda x: x.cast("string")).alias("sent"))
+    )
+    w2v = Word2Vec(
+        vectorSize=cfg.embedding_dim, windowSize=cfg.window_size,
+        maxIter=cfg.iterations, minCount=cfg.min_count, seed=cfg.seed,
+        inputCol="sent", outputCol="_vec",
+    )
+    model = w2v.fit(sents)
+    from pyspark.ml.functions import vector_to_array
+
+    return model.getVectors().select(
+        F.col("word").cast("long").alias("id"),
+        vector_to_array("vector").cast("array<double>").alias("embedding"),
+    )

@@ -1,0 +1,60 @@
+"""K-means over vectors + node2vec embedding quality."""
+
+from __future__ import annotations
+
+from neo4j_graph_data_science_spark.catalog import from_edge_list
+from neo4j_graph_data_science_spark.operators.clustering import KmeansConfig, kmeans
+from neo4j_graph_data_science_spark.operators.embeddings import (
+    Node2VecConfig,
+    node2vec,
+)
+
+
+def test_kmeans_separated_clusters(spark):
+    # two well-separated blobs in 4-d (deterministic jitter)
+    rows = []
+    for i in range(20):
+        j = (i % 7) * 0.01
+        rows.append((i, [0.0 + j, 0.0, 0.0, j]))
+        rows.append((100 + i, [10.0 + j, 10.0, 10.0, j]))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    res = kmeans(df, KmeansConfig(k=2, seed=1)).collect()
+    comm = {r["id"]: r["community"] for r in res}
+    lo = {comm[i] for i in range(20)}
+    hi = {comm[100 + i] for i in range(20)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    assert all(r["distance_from_centroid"] < 1.0 for r in res)
+
+
+def test_kmeans_silhouette_bounds(spark):
+    rows = [(i, [float(i % 2) * 8, 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    res = kmeans(df, KmeansConfig(k=2, seed=1, compute_silhouette=True)).collect()
+    for r in res:
+        assert -1.0 <= r["silhouette"] <= 1.0
+    assert sum(r["silhouette"] for r in res) / len(res) > 0.5
+
+
+def test_node2vec_community_similarity(spark):
+    # two cliques joined by one edge: same-clique embeddings must be more
+    # similar than cross-clique on average (link-reconstruction smoke)
+    k1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k2 = [(a + 5, b + 5) for a, b in k1]
+    g = from_edge_list(spark, k1 + k2 + [(4, 5)], n_nodes=10)
+    emb = {r["id"]: r["embedding"]
+           for r in node2vec(g, Node2VecConfig(
+               embedding_dim=8, walk_length=12, walks_per_node=20,
+               iterations=4)).collect()}
+    assert len(emb) == 10
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb + 1e-12)
+
+    same, cross = [], []
+    for i in range(10):
+        for j in range(i + 1, 10):
+            (same if (i < 5) == (j < 5) else cross).append(cos(emb[i], emb[j]))
+    assert sum(same) / len(same) > sum(cross) / len(cross)
