@@ -44,13 +44,21 @@ def hits(graph: SparkGraph, config: HitsConfig | None = None) -> DataFrame:
     edges = prepare_edges(graph.edges.select(SRC, DST), cfg.partitions)
     nodes = graph.nodes.select("id")
 
+    from ..plans.checkpoint import truncate
+
     def _l2_normalized(df: DataFrame, col: str) -> DataFrame:
-        row = df.agg(
-            F.count(F.lit(1)), F.sqrt(F.sum(F.col(col) * F.col(col)))
-        ).collect()[0]
-        norm = row[1] or 1.0
-        out = df.withColumn(col, F.col(col) / F.lit(norm))
-        return out
+        # the norm rides along as a broadcast 1-row crossJoin instead of a
+        # driver collect: one Spark action per phase (the truncate itself)
+        # rather than collect + checkpoint (round-1 finding: 3 extra jobs
+        # per HITS iteration, pure fixed-cost latency at scale)
+        norm = df.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_nrm"))
+        return (
+            df.crossJoin(F.broadcast(norm))
+            .withColumn(col, F.col(col) / F.when(F.col("_nrm") > 0,
+                                                 F.col("_nrm")).otherwise(1.0))
+            .drop("_nrm")
+        )
 
     # INIT: auth = in-degree, normalized; hub = 1
     indeg = edges.groupBy(F.col(DST).alias("id")).agg(
@@ -61,7 +69,7 @@ def hits(graph: SparkGraph, config: HitsConfig | None = None) -> DataFrame:
         .select("id", F.coalesce("auth", F.lit(0.0)).alias("auth"),
                 F.lit(1.0).alias("hub"))
     )
-    state = _l2_normalized(state, "auth").localCheckpoint(eager=True)
+    state = truncate(_l2_normalized(state, "auth"), "hits")
 
     for _ in range(cfg.hits_iterations):
         # auth(v) = sum of hub over in-neighbors
@@ -73,7 +81,7 @@ def hits(graph: SparkGraph, config: HitsConfig | None = None) -> DataFrame:
         state = state.join(auths, "id", "left").select(
             "id", F.coalesce("_a", F.lit(0.0)).alias("auth"), "hub"
         )
-        state = _l2_normalized(state, "auth").localCheckpoint(eager=True)
+        state = truncate(_l2_normalized(state, "auth"), "hits")
         # hub(v) = sum of auth over out-neighbors
         hubs = (
             edges.join(state.select(F.col("id").alias(DST), "auth").withColumnRenamed("auth", "_na"), DST)
@@ -83,7 +91,7 @@ def hits(graph: SparkGraph, config: HitsConfig | None = None) -> DataFrame:
         state = state.join(hubs, "id", "left").select(
             "id", "auth", F.coalesce("_h", F.lit(0.0)).alias("hub")
         )
-        state = _l2_normalized(state, "hub").localCheckpoint(eager=True)
+        state = truncate(_l2_normalized(state, "hub"), "hits")
     edges.unpersist()
     return state.select("id", "auth", "hub")
 

@@ -205,34 +205,68 @@ def article_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pre
 
 
 def eigenvector(graph: SparkGraph, config: PageRankConfig | None = None) -> PregelResult:
-    """Eigenvector centrality: power iteration + per-superstep L2 normalize
-    (reference EigenvectorComputation.java)."""
+    """Eigenvector centrality: power iteration over (A + I) with
+    per-superstep L2 normalization (reference EigenvectorComputation.java:
+    "Instead of just using the adjacency matrix A, we add the centrality
+    score from the previous iteration (A + I)" -- this separates dominant
+    eigenvalues so b<->c-style 2-cycles don't oscillate). Weighted graphs
+    send rank / weightedOutDegree(u) * w(u,v), matching the reference's
+    weightDenominator + applyRelationshipWeight pair. init = 1/|V|."""
     cfg = config or PageRankConfig()
     edges = prepare_edges(
         graph.aggregated_edges("SUM" if cfg.weighted else "COUNT"), cfg.partitions
     )
     nodes = graph.nodes.select("id")
     n = nodes.count()
-    init = 1.0 / (n ** 0.5) if n else 0.0
-    state0 = nodes.select("id", F.lit(init).alias("rank"), F.lit(1.0).alias("delta"))
-    msg_w = F.col(W)
+    init = 1.0 / n if n else 0.0
+    # GDS subtlety (verified to 1e-5 vs its fixture): RANK stores the
+    # NORMALIZED value, but messages carry the UN-normalized nextRank of
+    # the sending superstep -- so the recurrence is
+    #   y_{t+1} = normalize(y_t) + A^T y_t,   output = normalize(y_T).
+    # state carries both: rank (normalized) and y (message source).
+    # Superstep 0 is send-only, so maxIterations=T means T-1 receive steps;
+    # state0 below IS superstep 0's outcome (y=1/n, rank=1/sqrt(n)).
+    init_rank = 1.0 / (n ** 0.5) if n else 0.0
+    state0 = nodes.select("id", F.lit(init_rank).alias("rank"),
+                          F.lit(init).alias("y"), F.lit(1.0).alias("delta"))
+    if cfg.weighted:
+        wdeg = edges.groupBy(F.col(SRC).alias("id")).agg(F.sum(W).alias("_wd"))
+    else:
+        wdeg = None
 
     def superstep(state: DataFrame, it: int) -> DataFrame:
+        sender = state.select(F.col("id").alias(SRC), "y")
+        if wdeg is not None:
+            sender = (
+                sender.join(wdeg.withColumnRenamed("id", SRC), SRC, "left")
+                .select(SRC, (F.col("y")
+                              / F.when(F.col("_wd") > 0, F.col("_wd"))
+                              .otherwise(1.0)).alias("y"))
+            )
         msgs = (
-            edges.join(state.select(F.col("id").alias(SRC), "rank"), SRC)
-            .select(F.col(DST).alias("id"), (F.col("rank") * msg_w).alias("_m"))
+            edges.join(sender, SRC)
+            .select(F.col(DST).alias("id"),
+                    (F.col("y") * (F.col(W) if cfg.weighted else F.lit(1.0)))
+                    .alias("_m"))
             .groupBy("id").agg(F.sum("_m").alias("msg"))
         )
-        raw = nodes.join(msgs, "id", "left").select(
-            "id", F.coalesce("msg", F.lit(0.0)).alias("raw")
+        raw = (
+            nodes.join(msgs, "id", "left")
+            .join(state.select("id", "rank"), "id")
+            .select("id", F.col("rank").alias("_old"),
+                    (F.col("rank") + F.coalesce("msg", F.lit(0.0))).alias("y"))
         )
-        norm = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).collect()[0][0] or 1.0
+        # norm rides along as a broadcast 1-row crossJoin -- no driver
+        # collect inside the superstep (fixed-cost job per iteration saved)
+        norm = raw.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("_nrm"))
+        scale = F.when(F.col("_nrm") > 0, F.col("_nrm")).otherwise(1.0)
         return (
-            raw.join(state.select("id", F.col("rank").alias("_old")), "id")
+            raw.crossJoin(F.broadcast(norm))
             .select(
                 "id",
-                (F.col("raw") / F.lit(norm)).alias("rank"),
-                F.abs(F.col("raw") / F.lit(norm) - F.col("_old")).alias("delta"),
+                (F.col("y") / scale).alias("rank"),
+                "y",
+                F.abs(F.col("y") / scale - F.col("_old")).alias("delta"),
             )
         )
 
@@ -243,8 +277,8 @@ def eigenvector(graph: SparkGraph, config: PageRankConfig | None = None) -> Preg
         return mx is not None and mx <= cfg.tolerance
 
     res = run_pregel(state0, superstep, converged,
-                     PregelConfig(cfg.max_iterations, cfg.tolerance, cfg.partitions,
-                                  cfg.checkpoint_dir, 1, cfg.run_id))
+                     PregelConfig(max(cfg.max_iterations - 1, 0), cfg.tolerance,
+                                  cfg.partitions, cfg.checkpoint_dir, 1, cfg.run_id))
     res.state = res.state.select("id", F.col("rank").alias("score"))
     edges.unpersist()
     return res
