@@ -325,6 +325,63 @@ def q_wcc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wcc_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full GDS histogram parity: p1..p100 of WCC community sizes
+    (HistogramUtils.communitySummary)."""
+    from neo4j_graph_data_science_spark.operators.statistics import (
+        community_summary,
+    )
+
+    g = events_graph(spark, sf_dir)
+    comp = wcc(g, WccConfig()).state
+    s = community_summary(comp, "component")
+    cols = [F.col("communityCount").cast("long").alias("communityCount"),
+            F.col("min").cast("long").alias("min_size"),
+            F.col("max").cast("long").alias("max_size"),
+            F.round("mean", 6).alias("mean_size")]
+    for p in (1, 5, 10, 25, 50, 75, 90, 95, 99, 100):
+        cols.append(F.round(f"p{p}", 6).alias(f"p{p}"))
+    return s.select(*cols)
+
+
+def q_wcc_min_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minCommunitySize post-filter (CommunityCompanion.java:44-110)."""
+    from neo4j_graph_data_science_spark.operators.statistics import (
+        apply_min_community_size,
+    )
+
+    g = events_graph(spark, sf_dir)
+    comp = wcc(g, WccConfig()).state
+    return apply_min_community_size(comp, 25, "component")         .select("id", "component")
+
+
+def q_node_similarity_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global topN (not per-node topK) over node similarity."""
+    from neo4j_graph_data_science_spark.operators.statistics import global_top_n
+
+    adj = customer_part_bipartite(spark, sf_dir)
+    out = node_similarity(
+        adj, "c_custkey", "p_partkey", NodeSimilarityConfig(metric="jaccard", top_k=10)
+    )
+    top = global_top_n(out, 50, "similarity")
+    return top.select("node1", "node2", F.round("similarity", 6).alias("similarity"))
+
+
+def q_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """estimate mode: memory range for PageRank on the event graph without
+    running it (AlgorithmProcessingTemplate.java:38-115)."""
+    from neo4j_graph_data_science_spark.operators.statistics import estimate
+
+    g = events_graph(spark, sf_dir)
+    e = estimate(g, "pagerank")
+    return spark.createDataFrame(
+        [(e["algorithm"], e["nodeCount"], e["relationshipCount"],
+          e["bytesMin"], e["bytesMax"])],
+        "algorithm string, nodeCount long, relationshipCount long, "
+        "bytesMin long, bytesMax long",
+    )
+
+
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _scc_subgraph(spark, sf_dir, include_loop=True)
     return scc(g, SccConfig()).select("id", "component")
@@ -847,6 +904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_events": q_pagerank,
         "wcc_events": q_wcc,
         "wcc_stats": q_wcc_stats,
+        "wcc_stats_full": q_wcc_stats_full,
+        "wcc_min_community": q_wcc_min_size,
+        "node_similarity_topn": q_node_similarity_topn,
+        "estimate_pagerank": q_estimate,
         "scc_events": q_scc,
         "lpa_events": q_lpa,
         "triangles_parts": q_triangles,
@@ -1204,6 +1265,57 @@ FROM dots WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.45 ORDER BY vec_a, vec
 dr AS (SELECT id, component, dense_rank() OVER (ORDER BY component) - 1 AS new_c FROM comp)
 SELECT id, new_c::BIGINT AS component FROM dr ORDER BY id""",
         "hits_events": _hits_sql(8),
+        "wcc_stats_full": f"""{_WCC_CLOSURE},
+sizes AS (SELECT component, count(*) AS size FROM comp GROUP BY component)
+SELECT count(*)::BIGINT AS communityCount,
+       min(size)::BIGINT AS min_size,
+       max(size)::BIGINT AS max_size,
+       round(avg(size), 6) AS mean_size,
+       round(quantile_cont(size, 0.01), 6) AS p1,
+       round(quantile_cont(size, 0.05), 6) AS p5,
+       round(quantile_cont(size, 0.1), 6) AS p10,
+       round(quantile_cont(size, 0.25), 6) AS p25,
+       round(quantile_cont(size, 0.5), 6) AS p50,
+       round(quantile_cont(size, 0.75), 6) AS p75,
+       round(quantile_cont(size, 0.9), 6) AS p90,
+       round(quantile_cont(size, 0.95), 6) AS p95,
+       round(quantile_cont(size, 0.99), 6) AS p99,
+       round(quantile_cont(size, 1.0), 6) AS p100
+FROM sizes""",
+        "wcc_min_community": f"""{_WCC_CLOSURE},
+sizes AS (SELECT component, count(*) AS size FROM comp GROUP BY component)
+SELECT c.id, c.component FROM comp c JOIN sizes s ON c.component = s.component
+WHERE s.size >= 25 ORDER BY c.id""",
+        "node_similarity_topn": """WITH adj AS (
+  SELECT DISTINCT o.o_custkey AS n, l.l_partkey AS nb
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+inter AS (
+  SELECT a.n AS node1, b.n AS node2, count(*) AS i
+  FROM adj a JOIN adj b ON a.nb = b.nb AND a.n <> b.n
+  GROUP BY a.n, b.n
+),
+paired AS (
+  SELECT node1, node2, i / (d1.deg + d2.deg - i) AS similarity
+  FROM inter JOIN deg d1 ON node1 = d1.n JOIN deg d2 ON node2 = d2.n
+),
+topk AS (
+  SELECT node1, node2, similarity FROM (
+    SELECT *, row_number() OVER (PARTITION BY node1 ORDER BY similarity DESC, node2 ASC) AS rn
+    FROM paired
+  ) WHERE rn <= 10
+)
+SELECT node1, node2, round(similarity, 6) AS similarity FROM topk
+ORDER BY similarity DESC, node1 ASC, node2 ASC LIMIT 50""",
+        "estimate_pagerank": f"""WITH {_ev_ctes()}
+SELECT 'pagerank' AS algorithm,
+       (SELECT count(*) FROM nodes)::BIGINT AS nodeCount,
+       (SELECT count(*) FROM raw_edges)::BIGINT AS relationshipCount,
+       ((SELECT count(*) FROM nodes) * 24
+        + (SELECT count(*) FROM raw_edges) * 24)::BIGINT AS bytesMin,
+       (2 * ((SELECT count(*) FROM nodes) * 24
+        + (SELECT count(*) FROM raw_edges) * 24))::BIGINT AS bytesMax""",
         "betweenness_parts_mod": _betweenness_sql(),
         "dijkstra_paths_events_sub": _dijkstra_sql(),
         "harmonic_events_sub": f"""WITH RECURSIVE {_SCC_SUB},

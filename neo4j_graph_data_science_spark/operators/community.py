@@ -71,12 +71,16 @@ def k_core(graph: SparkGraph, config: KCoreConfig | None = None) -> DataFrame:
             lambda acc, x: F.greatest(acc, x),
         )
 
+    from ..plans.pregel import reduced_messages
+
     for _ in range(cfg.max_iterations):
-        nb_vals = (
-            adj.join(state.select(F.col("id").alias("nb"), F.col("core").alias("_c")), "nb")
-            .groupBy("id")
-            .agg(F.collect_list("_c").alias("_cs"))
-        )
+        # queue-messenger path (SyncQueueMessenger.java): the h-index needs
+        # the full neighbor multiset, so the reducer is "collect"
+        nb_vals = reduced_messages(
+            adj.select(F.col("nb").alias(SRC), F.col("id").alias(DST)),
+            state.select("id", F.col("core").alias("_c")),
+            F.col("_c"), reducer="collect",
+        ).withColumnRenamed("msg", "_cs")
         new = (
             state.join(nb_vals, "id", "left")
             .select(

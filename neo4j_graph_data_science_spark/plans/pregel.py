@@ -10,7 +10,8 @@ Reference semantics (pregel/src/main/java/org/neo4j/gds/beta/pregel/):
     (PartitionedComputer.java:88-95) -> an ``active`` predicate filtering
     which vertices emit messages; converged when the active frontier is empty.
   * Degree/range partitioning for skew (Partitioning.java:33-36,
-    PartitionUtils.java:126-159) -> salted repartition helper + AQE skew join.
+    PartitionUtils.java:126-159) -> map-side partial aggregation (Spark's
+    built-in two-stage combine) + AQE skew join; see the NOTE at the bottom.
 
 What GDS does NOT have and this kernel adds (north rule):
   * per-superstep checkpoint of vertex state + lineage/metrics, resumable
@@ -185,31 +186,13 @@ def reduced_messages(
     )
 
 
-def salted_reduced_messages(
-    edges: DataFrame,
-    state: DataFrame,
-    message: Column,
-    reducer: str = "sum",
-    active: Column | None = None,
-    salt: int = 16,
-) -> DataFrame:
-    """Two-stage combine for hub-destination skew (GDS degree partitioning,
-    PartitionUtils.java:126-159, re-expressed for shuffles): first reduce per
-    (dst, salt-bucket), then per dst. Only worthwhile when single dst keys
-    overflow a task; AQE skew handling covers the residual cases.
-    """
-    if reducer == "collect":
-        raise ValueError("salting requires an algebraic reducer")
-    s = state.filter(active) if active is not None else state
-    joined = edges.join(s.withColumnRenamed("id", SRC), SRC)
-    partial = (
-        joined.select(
-            F.col(DST).alias("id"),
-            (F.pmod(F.xxhash64(SRC), F.lit(salt))).alias("_salt"),
-            message.alias("_m"),
-        )
-        .groupBy("id", "_salt")
-        .agg(Reducers[reducer](F.col("_m")).alias("_pm"))
-    )
-    final = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.sum}[reducer]
-    return partial.groupBy("id").agg(final(F.col("_pm")).alias("msg"))
+# NOTE on hub-vertex skew: an explicit "salted" two-stage combine
+# (reduce per (dst, salt) then per dst) was removed after round 1 flagged it
+# as dead code. For algebraic reducers Spark's HashAggregate already runs a
+# partial combine per MAP PARTITION before the shuffle -- which is exactly
+# the salting trick with salt = input partition id -- so a hub destination
+# receives at most one pre-combined row per upstream partition, not one per
+# edge. The remaining skew surface is the JOIN side (one hub key's edge rows
+# land in one task); that is covered by AQE skew-join splitting, enabled in
+# session.py. `.explain` on the PageRank superstep shows the
+# partial_sum/merge_sum HashAggregate pair around the exchange.

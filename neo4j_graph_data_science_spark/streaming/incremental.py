@@ -76,8 +76,13 @@ def degree_update_batch_fn(
             .groupBy("conv_id", "turn_idx")
             .agg(F.count(F.lit(1)).alias("out_degree"))
         )
-        deg.write.mode("overwrite").parquet(
-            f"{state_path}/degree/batch={batch_id}"
+        # dynamic partition overwrite keyed by conv_id: re-derived
+        # conversations REPLACE their previous rows (a per-batch directory
+        # would leave stale duplicates for conversations reprocessed later);
+        # on an Iceberg catalog this would be replaceWhere on conv_id
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        deg.write.mode("overwrite").partitionBy("conv_id").parquet(
+            f"{state_path}/degree"
         )
 
     return fn

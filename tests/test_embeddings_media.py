@@ -142,3 +142,33 @@ def test_cli_pagerank_roundtrip(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() > 0
     assert "score" in result.columns and "conv_id" in result.columns
+
+
+def test_degree_update_batch_overwrites(spark, tmp_path):
+    # reprocessing a conversation must REPLACE its degree rows, not leave
+    # stale duplicates from the earlier batch
+    from neo4j_graph_data_science_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+    from neo4j_graph_data_science_spark.streaming.incremental import (
+        degree_update_batch_fn,
+    )
+
+    state = str(tmp_path / "state")
+    t = synthesize_transcripts(spark, n_convs=5, max_turns=8)
+    fn = degree_update_batch_fn(state)
+    half1 = t.filter("turn_idx < 3")
+    half2 = t.filter("turn_idx >= 3")
+    fn(half1, 0)
+    fn(half2, 1)  # touches the SAME conversations again
+    deg = spark.read.parquet(f"{state}/degree")
+    dups = (
+        deg.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+    )
+    assert dups == 0
+    # full derivation equals a one-shot batch derivation
+    total = deg.count()
+    fn2 = degree_update_batch_fn(str(tmp_path / "state2"))
+    fn2(t, 0)
+    expected = spark.read.parquet(f"{tmp_path}/state2/degree").count()
+    assert total == expected

@@ -28,7 +28,15 @@ spark = get_spark("tune", master=f"local[{cpus}]", shuffle_partitions=shuffle,
 g = transcript_graph(spark, n_convs=n_convs, seed=42, max_turns=40)
 n_edges = g.edges.count()
 import neo4j_graph_data_science_spark.plans.pregel as P
-# patch default truncate for the experiment
+import neo4j_graph_data_science_spark.operators.pagerank as PR
+# apply the truncate-cadence knob: wrap run_pregel where page_rank bound it
+# (dataclass defaults are frozen at class creation, so patching the
+# PregelConfig class attribute would silently do nothing)
+_orig_run = PR.run_pregel
+def _patched_run(state0, superstep, converged, config, **kw):
+    config.truncate_every = truncate
+    return _orig_run(state0, superstep, converged, config, **kw)
+PR.run_pregel = _patched_run
 page_rank(g, PageRankConfig(max_iterations=3, tolerance=0.0))  # warmup
 t0 = time.time()
 res = page_rank(g, PageRankConfig(max_iterations=11, tolerance=0.0))
