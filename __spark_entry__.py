@@ -723,6 +723,119 @@ WHERE w.cur = 0
 ORDER BY w.target"""
 
 
+def q_clique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node 3- and 4-clique counts on the 120-bucket contracted part
+    co-occurrence graph (same graph as the betweenness query)."""
+    from neo4j_graph_data_science_spark.catalog import SparkGraph
+    from neo4j_graph_data_science_spark.operators.cliques import (
+        CliqueCountingConfig, clique_counting,
+    )
+    from neo4j_graph_data_science_spark.sources.tables import load
+
+    k = 120
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.withColumnRenamed("l_partkey", "pb")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select((F.col("pa") % k).alias("ua"), (F.col("pb") % k).alias("ub"))
+        .filter(F.col("ua") != F.col("ub"))
+        .select(F.least("ua", "ub").alias("src"), F.greatest("ua", "ub").alias("dst"))
+        .distinct()
+        .select("src", "dst", F.lit("COOCCUR").alias("rel_type"), F.lit(1.0).alias("weight"))
+    )
+    g = SparkGraph(nodes=spark.range(k).select("id"), edges=pairs)
+    _, per_node = clique_counting(g, CliqueCountingConfig(max_k=4))
+    return per_node.select("id", "k", "count")
+
+
+_CLIQUE_SQL = """WITH pairs AS MATERIALIZED (
+  SELECT LEAST(a.l_partkey % 120, b.l_partkey % 120) AS u,
+         GREATEST(a.l_partkey % 120, b.l_partkey % 120) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey % 120 <> b.l_partkey % 120
+  GROUP BY 1, 2
+),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1 JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+quad AS MATERIALIZED (
+  SELECT t.a, t.b, t.c, e1.v AS d
+  FROM tri t
+  JOIN pairs e1 ON e1.u = t.c
+  JOIN pairs e2 ON e2.u = t.a AND e2.v = e1.v
+  JOIN pairs e3 ON e3.u = t.b AND e3.v = e1.v
+),
+tri_nodes AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+quad_nodes AS (
+  SELECT a AS id FROM quad UNION ALL SELECT b FROM quad
+  UNION ALL SELECT c FROM quad UNION ALL SELECT d FROM quad
+)
+SELECT id, 3 AS k, count(*) AS count FROM tri_nodes GROUP BY id
+UNION ALL
+SELECT id, 4 AS k, count(*) AS count FROM quad_nodes GROUP BY id
+ORDER BY k, id"""
+
+
+def q_dag_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG longest path over the acyclic event graph (NEXT/TYPE/GROUP edges
+    always advance (user_id, rn), so the full graph is a DAG)."""
+    from neo4j_graph_data_science_spark.operators.paths import dag_longest_path
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    res = dag_longest_path(g)
+    return res.select(
+        "target",
+        F.round("total_cost", 6).alias("total_cost"),
+        F.array_join(F.col("node_ids").cast("array<string>"), "->").alias("path"),
+    )
+
+
+def q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.paths import dfs
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return dfs(g, 0)
+
+
+def _dag_longest_sql() -> str:
+    """Oracle: recursive longest-dist enumeration (bounded by DAG depth),
+    deterministic argmax predecessor, pred-chain walk."""
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_edges),
+r(id, d) AS (
+  SELECT id, 0 AS d FROM nodes
+  UNION
+  SELECT e.dst AS id, r.d + 1 AS d FROM r JOIN ed e ON r.id = e.src
+  WHERE r.d < 100
+),
+dist AS (SELECT id, max(d)::DOUBLE AS dist FROM r GROUP BY id),
+pred AS (
+  SELECT e.dst AS id, MIN(e.src) AS pred
+  FROM ed e JOIN dist u ON e.src = u.id JOIN dist v ON e.dst = v.id
+  WHERE ABS(u.dist + 1 - v.dist) < 1e-9
+  GROUP BY e.dst
+),
+walk(target, cur, path) AS (
+  SELECT id AS target, id AS cur, [id] AS path FROM dist
+  UNION ALL
+  SELECT w.target, p.pred AS cur, list_prepend(p.pred, w.path) AS path
+  FROM walk w JOIN pred p ON w.cur = p.id
+)
+SELECT w.target, ROUND(d.dist, 6) AS total_cost,
+       array_to_string(w.path, '->') AS path
+FROM walk w JOIN dist d ON w.target = d.id
+WHERE NOT EXISTS (SELECT 1 FROM pred p WHERE p.id = w.cur)
+ORDER BY w.target"""
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Brandes betweenness on the part co-occurrence graph contracted
     to 120 hash buckets (small diameter so the DuckDB oracle's unrolled-BFS
@@ -937,6 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_consecutive_events": q_wcc_consecutive,
         "betweenness_parts_mod": q_betweenness,
         "dijkstra_paths_events_sub": q_dijkstra_paths,
+        "dag_longest_events_sub": q_dag_longest,
+        "clique_counts_parts_mod": q_clique_counts,
         # rows-only (non-SQL-expressible or Spark-dialect hashes)
         "kcore_events_sub": q_kcore,
         "k1coloring_events": q_k1coloring,
@@ -944,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden_events_sub": q_leiden,
         "kmeans_embeddings": q_kmeans,
         "node2vec_events_sub": q_node2vec,
+        "dfs_events_sub": q_dfs,
         "fastrp_events_sub": q_fastrp,
         "random_walks_events_sub": q_random_walks,
         "ann_lsh_topk": q_ann_lsh,
@@ -1318,6 +1434,8 @@ SELECT 'pagerank' AS algorithm,
         + (SELECT count(*) FROM raw_edges) * 24))::BIGINT AS bytesMax""",
         "betweenness_parts_mod": _betweenness_sql(),
         "dijkstra_paths_events_sub": _dijkstra_sql(),
+        "dag_longest_events_sub": _dag_longest_sql(),
+        "clique_counts_parts_mod": _CLIQUE_SQL,
         "harmonic_events_sub": f"""WITH RECURSIVE {_SCC_SUB},
 {_ev_ctes("events_sub")},
 edges_d AS (SELECT DISTINCT src, dst FROM raw_edges),

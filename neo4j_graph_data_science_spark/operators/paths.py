@@ -477,3 +477,118 @@ def delta_stepping(graph: SparkGraph, source: int, delta: float = 2.0,
         state = relax(state, heavy, F.floor(F.col("dist") / delta) == b)
     light.unpersist()
     return state.select("id", "dist").filter(F.col("dist") != INF)
+
+
+def dag_longest_path(graph: SparkGraph, weighted: bool = False,
+                     config: PathConfig | None = None) -> DataFrame:
+    """Longest path to every node of a DAG (dag/longestPath/
+    DagLongestPath.java:57 -- 'implemented using topological sort').
+
+    Spark formulation: max-relaxation fixpoint (Bellman-Ford with max);
+    on a DAG it converges in depth rounds, the same wavefront the
+    reference's in-degree peeling follows. Returns (target, total_cost,
+    node_ids) with the path reconstructed from deterministic argmax
+    predecessors -- the result shape of the reference's PathFindingResult.
+    """
+    cfg = config or PathConfig()
+    e = graph.aggregated_edges("MAX" if weighted else "COUNT")
+    if not weighted:
+        e = e.withColumn(W, F.lit(1.0))
+    edges = prepare_edges(e, cfg.partitions)
+    state = graph.nodes.select(
+        "id", F.lit(0.0).alias("dist"), F.lit(True).alias("changed"))
+    state = state.localCheckpoint(eager=True)
+    for _ in range(cfg.max_iterations):
+        frontier = state.filter(F.col("changed"))
+        if frontier.isEmpty():
+            break
+        cands = (
+            edges.join(frontier.select(F.col("id").alias(SRC),
+                                       F.col("dist").alias("_sd")), SRC)
+            .select(F.col(DST).alias("id"), (F.col("_sd") + F.col(W)).alias("_cand"))
+            .groupBy("id").agg(F.max("_cand").alias("cand"))
+        )
+        state = (
+            state.join(cands, "id", "left")
+            .select(
+                "id",
+                F.greatest(F.col("dist"), F.coalesce("cand", F.col("dist")))
+                .alias("dist"),
+                (F.coalesce("cand", F.lit(float("-inf"))) > F.col("dist"))
+                .alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    dist = state.select("id", "dist")
+    # deterministic predecessor on an optimal in-edge, then backtrack;
+    # sources (dist 0 with no optimal in-edge) terminate the walk
+    du = dist.select(F.col("id").alias(SRC), F.col("dist").alias("_du"))
+    dv = dist.select(F.col("id").alias(DST), F.col("dist").alias("_dv"))
+    preds = (
+        e.join(du, SRC).join(dv, DST)
+        .filter(F.abs(F.col("_du") + F.col(W) - F.col("_dv")) < 1e-9)
+        .groupBy(F.col(DST).alias("id"))
+        .agg(F.min(SRC).alias("pred"))
+    )
+    walk = (
+        dist.select(F.col("id").alias("target"), F.col("dist").alias("total_cost"),
+                    F.col("id").alias("_cur"), F.array("id").alias("node_ids"))
+        .localCheckpoint(eager=True)
+    )
+    pmap = preds.select(F.col("id").alias("_cur"), "pred").localCheckpoint(eager=True)
+    done = [walk.join(pmap, "_cur", "left_anti")
+            .select("target", "total_cost", "node_ids")]
+    for _ in range(cfg.max_iterations):
+        walk = walk.join(pmap, "_cur")
+        if walk.isEmpty():
+            break
+        walk = walk.select(
+            "target", "total_cost", F.col("pred").alias("_cur"),
+            F.concat(F.array("pred"), "node_ids").alias("node_ids"),
+        ).localCheckpoint(eager=True)
+        done.append(walk.join(pmap, "_cur", "left_anti")
+                    .select("target", "total_cost", "node_ids"))
+        walk = walk.join(pmap.select("_cur"), "_cur", "left_semi")
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def dfs(graph: SparkGraph, source: int, max_depth: int | None = None,
+        max_collected_edges: int = 5_000_000) -> DataFrame:
+    """(id, visit_order): depth-first preorder from `source`
+    (paths/traverse/DFS.java:32 -- a single-threaded BitSet walker in the
+    reference too; DFS order is inherently sequential). The adjacency of
+    the reachable region is collected to the driver (guarded by
+    max_collected_edges) and walked with neighbors in ascending id order,
+    matching the reference's adjacency-order iteration over the sorted
+    CSR. For unbounded-scale traversal use bfs() instead."""
+    rows = graph.edges.select(SRC, DST).distinct().limit(max_collected_edges + 1) \
+        .collect()
+    if len(rows) > max_collected_edges:
+        raise ValueError(
+            f"dfs collects adjacency to the driver; graph exceeds "
+            f"{max_collected_edges} edges -- use bfs() or raise the guard")
+    adj: dict[int, list[int]] = {}
+    for r in rows:
+        adj.setdefault(r[SRC], []).append(r[DST])
+    for v in adj:
+        adj[v].sort()
+    visited: set[int] = set()
+    order: list[tuple[int, int]] = []
+    stack: list[tuple[int, int]] = [(int(source), 0)]
+    while stack:
+        node, depth = stack.pop()
+        if node in visited:
+            continue
+        if max_depth is not None and depth > max_depth:
+            continue
+        visited.add(node)
+        order.append((node, len(order)))
+        for nb in reversed(adj.get(node, [])):
+            if nb not in visited:
+                stack.append((nb, depth + 1))
+    spark = graph.nodes.sparkSession
+    return spark.createDataFrame(order, "id long, visit_order long")

@@ -1,0 +1,108 @@
+"""Minimum spanning tree / forest.
+
+Reference: spanningtree/Prim.java:43 (sequential Prim from a start node)
+and kspanningtree/KSpanningTree.java. A driver-side heap does not
+distribute; the Spark-native formulation is BORUVKA: every component picks
+its minimum outgoing edge (one groupBy), picked edges merge components
+(one WCC round over the component graph, itself a handful of joins), and
+the component count at least halves per round -- O(log V) rounds total.
+
+With the total-order tie-break (weight, src, dst) the MST is unique, so
+the result equals Prim's tree on each connected component; `start_node`
+restricts the forest to that node's component, which is exactly the
+reference's Prim result shape (tree edges + total weight).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import DST, SRC, W, SparkGraph
+from ..plans.checkpoint import truncate
+from .wcc import WccConfig, wcc
+
+
+@dataclass
+class SpanningTreeConfig:
+    max_rounds: int = 64
+    objective: str = "minimum"   # or "maximum" (GDS supports both)
+
+
+def spanning_tree(graph: SparkGraph, start_node: int | None = None,
+                  config: SpanningTreeConfig | None = None) -> DataFrame:
+    """(src, dst, weight) tree edges of the minimum (or maximum) spanning
+    forest; restricted to start_node's component when given."""
+    cfg = config or SpanningTreeConfig()
+    sign = 1.0 if cfg.objective == "minimum" else -1.0
+    und = (
+        graph.aggregated_edges("MIN" if sign > 0 else "MAX", "UNDIRECTED")
+        .filter(F.col(SRC) != F.col(DST))
+    )
+    # canonical undirected edge once, keyed for the deterministic total order
+    edges = truncate(
+        und.select(
+            F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST), W)
+        .groupBy(SRC, DST).agg((F.min(W) if sign > 0 else F.max(W)).alias(W)),
+        "mst_edges",
+    )
+    comp = truncate(graph.nodes.select("id", F.col("id").alias("comp")), "mst_comp")
+    picked_all: list[DataFrame] = []
+
+    for _ in range(cfg.max_rounds):
+        ec = (
+            edges.join(comp.select(F.col("id").alias(SRC),
+                                   F.col("comp").alias("_cs")), SRC)
+            .join(comp.select(F.col("id").alias(DST),
+                              F.col("comp").alias("_cd")), DST)
+            .filter(F.col("_cs") != F.col("_cd"))
+        )
+        if ec.isEmpty():
+            break
+        # each component's minimum outgoing edge under (w, src, dst) order
+        key = F.struct((F.col(W) * sign).alias("w"), F.col(SRC).alias("s"),
+                       F.col(DST).alias("d"))
+        pick = (
+            ec.select(F.explode(F.array("_cs", "_cd")).alias("_c"), key.alias("_k"))
+            .groupBy("_c").agg(F.min("_k").alias("_k"))
+            .select(F.col("_k.s").alias(SRC), F.col("_k.d").alias(DST),
+                    (F.col("_k.w") * sign).alias(W))
+            .distinct()
+        )
+        pick = truncate(pick, "mst_pick")
+        picked_all.append(pick)
+        # merge components connected by picked edges: WCC on the comp graph
+        cg_edges = (
+            pick.join(comp.select(F.col("id").alias(SRC),
+                                  F.col("comp").alias("_cs")), SRC)
+            .join(comp.select(F.col("id").alias(DST),
+                              F.col("comp").alias("_cd")), DST)
+            .select(F.col("_cs").alias(SRC), F.col("_cd").alias(DST),
+                    F.lit("M").alias("rel_type"), F.lit(1.0).alias(W))
+        )
+        cg_nodes = comp.select(F.col("comp").alias("id")).distinct()
+        merged = wcc(SparkGraph(nodes=cg_nodes, edges=cg_edges),
+                     WccConfig()).state
+        comp = truncate(
+            comp.join(merged.select(F.col("id").alias("comp"),
+                                    F.col("component").alias("_new")), "comp")
+            .select("id", F.col("_new").alias("comp")),
+            "mst_comp",
+        )
+
+    if not picked_all:
+        return graph.nodes.sparkSession.createDataFrame(
+            [], f"{SRC} long, {DST} long, {W} double")
+    tree = picked_all[0]
+    for p in picked_all[1:]:
+        tree = tree.unionByName(p)
+    tree = tree.distinct()
+    if start_node is not None:
+        in_comp = comp.filter(F.col("id") == start_node).select("comp")
+        members = comp.join(in_comp, "comp", "left_semi").select("id")
+        tree = (
+            tree.join(members.withColumnRenamed("id", SRC), SRC, "left_semi")
+        )
+    return tree

@@ -1,0 +1,55 @@
+"""Boruvka spanning forest vs a python Kruskal with the same tie-break."""
+
+from __future__ import annotations
+
+from neo4j_graph_data_science_spark.catalog import from_edge_list
+from neo4j_graph_data_science_spark.operators.spanningtree import (
+    SpanningTreeConfig,
+    spanning_tree,
+)
+
+
+def _kruskal(edges, n, maximum=False):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    tree = []
+    key = sorted(((w if not maximum else -w, min(a, b), max(a, b), w)
+                  for a, b, w in edges))
+    for _, a, b, w in key:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            tree.append((a, b, w))
+    return sorted(tree)
+
+
+EDGES = [(0, 1, 4.0), (0, 2, 1.0), (1, 2, 2.0), (1, 3, 5.0), (2, 3, 8.0),
+         (3, 4, 3.0), (4, 5, 1.5), (3, 5, 9.0), (6, 7, 2.5)]  # 2 components
+
+
+def test_mst_matches_kruskal(spark):
+    g = from_edge_list(spark, EDGES, n_nodes=8)
+    got = sorted((r["src"], r["dst"], r["weight"])
+                 for r in spanning_tree(g).collect())
+    assert got == _kruskal(EDGES, 8)
+    assert len(got) == 6  # n - #components = 8 - 2
+
+
+def test_maximum_spanning_tree(spark):
+    g = from_edge_list(spark, EDGES, n_nodes=8)
+    got = sorted((r["src"], r["dst"], r["weight"])
+                 for r in spanning_tree(
+                     g, config=SpanningTreeConfig(objective="maximum")).collect())
+    assert got == _kruskal(EDGES, 8, maximum=True)
+
+
+def test_start_node_restricts_component(spark):
+    g = from_edge_list(spark, EDGES, n_nodes=8)
+    got = sorted((r["src"], r["dst"]) for r in spanning_tree(g, start_node=6).collect())
+    assert got == [(6, 7)]
