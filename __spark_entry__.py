@@ -421,6 +421,74 @@ def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node1", "node2", F.round("similarity", 6).alias("similarity"))
 
 
+def q_node_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cosine node similarity: customer neighbor sets weighted by
+    total quantity purchased per part."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    adj = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.sum("l_quantity").cast("double").alias("w"))
+    )
+    out = node_similarity(
+        adj, "c", "p",
+        NodeSimilarityConfig(metric="cosine", top_k=5), weight_col="w",
+    )
+    return out.select("node1", "node2", F.round("similarity", 6).alias("similarity"))
+
+
+def q_sllpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.sllpa import SllpaConfig, sllpa
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    out = sllpa(g, SllpaConfig(max_iterations=8))
+    return out.select(
+        "id", F.array_join(F.col("community_ids").cast("array<string>"), ",")
+        .alias("communities"))
+
+
+def q_spanning_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.catalog import SparkGraph
+    from neo4j_graph_data_science_spark.operators.spanningtree import spanning_tree
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    weighted = g.edges.withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") * 11 + F.col("dst") * 17, F.lit(7)))
+        .cast("double"),
+    )
+    tree = spanning_tree(SparkGraph(nodes=g.nodes, edges=weighted))
+    return tree.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+
+def q_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.articulation import (
+        articulation_points,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return articulation_points(g)
+
+
+def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.articulation import bridges
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return bridges(g)
+
+
+def q_indirect_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.exposure import (
+        IndirectExposureConfig, indirect_exposure,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    out = indirect_exposure(g, [0, 1, 2], IndirectExposureConfig())
+    return out.select("id", F.round("exposure", 6).alias("exposure"),
+                      "hop", "parent", "root")
+
+
 def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = events_graph(spark, sf_dir)
     return bfs(g, [0], PathConfig(max_iterations=BFS_MAX_DEPTH)).select("id", "dist")
@@ -1020,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_stats_full": q_wcc_stats_full,
         "wcc_min_community": q_wcc_min_size,
         "node_similarity_topn": q_node_similarity_topn,
+        "node_similarity_cosine": q_node_similarity_cosine,
         "estimate_pagerank": q_estimate,
         "scc_events": q_scc,
         "lpa_events": q_lpa,
@@ -1060,6 +1129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans,
         "node2vec_events_sub": q_node2vec,
         "dfs_events_sub": q_dfs,
+        "sllpa_events_sub": q_sllpa,
+        "spanning_tree_events_sub": q_spanning_tree,
+        "articulation_events_sub": q_articulation,
+        "bridges_events_sub": q_bridges,
+        "indirect_exposure_events_sub": q_indirect_exposure,
         "fastrp_events_sub": q_fastrp,
         "random_walks_events_sub": q_random_walks,
         "ann_lsh_topk": q_ann_lsh,
@@ -1402,6 +1476,25 @@ FROM sizes""",
 sizes AS (SELECT component, count(*) AS size FROM comp GROUP BY component)
 SELECT c.id, c.component FROM comp c JOIN sizes s ON c.component = s.component
 WHERE s.size >= 25 ORDER BY c.id""",
+        "node_similarity_cosine": """WITH adj AS (
+  SELECT o.o_custkey AS n, l.l_partkey AS nb, SUM(l.l_quantity)::DOUBLE AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+nrm AS (SELECT n, sqrt(sum(w * w)) AS nn FROM adj GROUP BY n),
+dots AS (
+  SELECT a.n AS node1, b.n AS node2, SUM(a.w * b.w) AS dot
+  FROM adj a JOIN adj b ON a.nb = b.nb AND a.n <> b.n
+  GROUP BY a.n, b.n
+),
+paired AS (
+  SELECT node1, node2, dot / (n1.nn * n2.nn) AS similarity
+  FROM dots JOIN nrm n1 ON node1 = n1.n JOIN nrm n2 ON node2 = n2.n
+)
+SELECT node1, node2, round(similarity, 6) AS similarity FROM (
+  SELECT *, row_number() OVER (PARTITION BY node1 ORDER BY similarity DESC, node2 ASC) AS rn
+  FROM paired
+) WHERE rn <= 5 ORDER BY node1, node2""",
         "node_similarity_topn": """WITH adj AS (
   SELECT DISTINCT o.o_custkey AS n, l.l_partkey AS nb
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey

@@ -27,11 +27,18 @@ from pyspark.sql.window import Window
 
 @dataclass
 class NodeSimilarityConfig:
-    metric: str = "jaccard"          # jaccard | overlap
+    metric: str = "jaccard"          # jaccard | overlap | cosine (weighted)
     top_k: int = 10                  # per-source neighbors kept
+    bottom_k: int | None = None      # most-DISsimilar k instead (GDS bottomK)
     degree_cutoff: int = 1           # min neighbor-set size (NodeSimilarity semantics)
     similarity_cutoff: float = 0.0
     max_fanout_neighbor_degree: int | None = None
+    # filtered node similarity (similarity/filterednodesim/): restrict the
+    # compared pairs by source / target predicate over the node id column.
+    # Filtering happens BEFORE the pair join, so filtered runs shrink the
+    # shuffle instead of post-filtering a full cross product.
+    source_filter: str | None = None
+    target_filter: str | None = None
 
 
 def node_similarity(
@@ -39,14 +46,18 @@ def node_similarity(
     node_col: str,
     neighbor_col: str,
     config: NodeSimilarityConfig | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node1, node2, similarity): symmetric pairs, topK per node1.
 
-    ``adjacency`` is a distinct (node, neighbor) relationship DF.
+    ``adjacency`` is a distinct (node, neighbor) relationship DF;
+    ``weight_col`` (cosine / weighted metrics) names a relationship-weight
+    column on it.
     """
     cfg = config or NodeSimilarityConfig()
+    wcol = [F.col(weight_col).alias("w")] if weight_col else []
     adj = adjacency.select(
-        F.col(node_col).alias("n"), F.col(neighbor_col).alias("nb")
+        F.col(node_col).alias("n"), F.col(neighbor_col).alias("nb"), *wcol
     ).distinct()
 
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
@@ -61,18 +72,41 @@ def node_similarity(
     else:
         adj_joinable = adj
 
-    a = adj_joinable.select(F.col("n").alias("node1"), "nb")
-    b = adj_joinable.select(F.col("n").alias("node2"), "nb")
+    a = adj_joinable.select(F.col("n").alias("node1"), "nb",
+                            *([F.col("w").alias("_w1")] if weight_col else []))
+    b = adj_joinable.select(F.col("n").alias("node2"), "nb",
+                            *([F.col("w").alias("_w2")] if weight_col else []))
+    # predicates are written over the pseudo-column `node`, e.g.
+    # "node % 2 = 0" or "node IN (1,2,3)" -- rebound per side
+    import re as _re
+    if cfg.source_filter:
+        a = a.filter(F.expr(_re.sub(r"\bnode\b", "node1", cfg.source_filter)))
+    if cfg.target_filter:
+        b = b.filter(F.expr(_re.sub(r"\bnode\b", "node2", cfg.target_filter)))
+    pair_aggs = [F.count(F.lit(1)).alias("_inter")]
+    if weight_col:
+        pair_aggs.append(F.sum(F.col("_w1") * F.col("_w2")).alias("_dot"))
     inter = (
         a.join(b, "nb")
         .filter(F.col("node1") != F.col("node2"))
         .groupBy("node1", "node2")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .agg(*pair_aggs)
     )
     d1 = deg.select(F.col("n").alias("node1"), F.col("deg").alias("_d1"))
     d2 = deg.select(F.col("n").alias("node2"), F.col("deg").alias("_d2"))
     paired = inter.join(d1, "node1").join(d2, "node2")
-    if cfg.metric == "jaccard":
+    if cfg.metric == "cosine":
+        if not weight_col:
+            raise ValueError("cosine metric needs weight_col")
+        nrm = adj.groupBy("n").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_n"))
+        paired = (
+            paired.join(nrm.select(F.col("n").alias("node1"),
+                                   F.col("_n").alias("_n1")), "node1")
+            .join(nrm.select(F.col("n").alias("node2"),
+                             F.col("_n").alias("_n2")), "node2")
+        )
+        sim = F.col("_dot") / (F.col("_n1") * F.col("_n2"))
+    elif cfg.metric == "jaccard":
         sim = F.col("_inter") / (F.col("_d1") + F.col("_d2") - F.col("_inter"))
     elif cfg.metric == "overlap":
         sim = F.col("_inter") / F.least("_d1", "_d2")
@@ -81,11 +115,18 @@ def node_similarity(
     scored = paired.select("node1", "node2", sim.alias("similarity")).filter(
         F.col("similarity") >= cfg.similarity_cutoff
     )
-    win = Window.partitionBy("node1").orderBy(
-        F.col("similarity").desc(), F.col("node2").asc()
-    )
+    if cfg.bottom_k is not None:
+        win = Window.partitionBy("node1").orderBy(
+            F.col("similarity").asc(), F.col("node2").asc()
+        )
+        limit = cfg.bottom_k
+    else:
+        win = Window.partitionBy("node1").orderBy(
+            F.col("similarity").desc(), F.col("node2").asc()
+        )
+        limit = cfg.top_k
     return (
         scored.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") <= cfg.top_k)
+        .filter(F.col("_rn") <= limit)
         .drop("_rn")
     )
