@@ -489,6 +489,27 @@ def q_indirect_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "hop", "parent", "root")
 
 
+def q_max_kcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.maxkcut import (
+        MaxKCutConfig, approx_max_k_cut,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    part, _ = approx_max_k_cut(g, MaxKCutConfig(k=3, iterations=2,
+                                                local_rounds=6))
+    return part.select("id", "community")
+
+
+def q_celf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.influence import (
+        CelfConfig, celf,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return celf(g, CelfConfig(seed_set_size=3, propagation_probability=0.2,
+                              monte_carlo_simulations=10))
+
+
 def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = events_graph(spark, sf_dir)
     return bfs(g, [0], PathConfig(max_iterations=BFS_MAX_DEPTH)).select("id", "dist")
@@ -1134,6 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "articulation_events_sub": q_articulation,
         "bridges_events_sub": q_bridges,
         "indirect_exposure_events_sub": q_indirect_exposure,
+        "max_kcut_events_sub": q_max_kcut,
+        "celf_events_sub": q_celf,
         "fastrp_events_sub": q_fastrp,
         "random_walks_events_sub": q_random_walks,
         "ann_lsh_topk": q_ann_lsh,

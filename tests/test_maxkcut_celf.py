@@ -1,0 +1,46 @@
+"""Approx max k-cut + CELF influence maximization."""
+
+from __future__ import annotations
+
+from neo4j_graph_data_science_spark.catalog import from_edge_list
+from neo4j_graph_data_science_spark.operators.influence import CelfConfig, celf
+from neo4j_graph_data_science_spark.operators.maxkcut import (
+    MaxKCutConfig,
+    approx_max_k_cut,
+)
+
+
+def test_max_2cut_bipartite(spark):
+    # complete bipartite K(3,3): optimal 2-cut = all 9 edges
+    edges = [(a, 3 + b) for a in range(3) for b in range(3)]
+    g = from_edge_list(spark, edges, n_nodes=6)
+    part, cut = approx_max_k_cut(g, MaxKCutConfig(k=2, iterations=3,
+                                                  local_rounds=10))
+    assert cut == 9.0
+    got = {r["id"]: r["community"] for r in part.collect()}
+    assert len({got[0], got[1], got[2]}) == 1
+    assert len({got[3], got[4], got[5]}) == 1
+    assert got[0] != got[3]
+
+
+def test_celf_picks_hubs(spark):
+    # star hub 0 with 10 leaves + isolated pair 11-12: at p=1 the first
+    # pick must be in the star component (spread 11), second adds the pair
+    edges = [(0, i) for i in range(1, 11)] + [(11, 12)]
+    g = from_edge_list(spark, edges, n_nodes=13)
+    res = celf(g, CelfConfig(seed_set_size=2, propagation_probability=1.0,
+                             monte_carlo_simulations=4)).collect()
+    assert res[0]["node_id"] in range(0, 11)
+    assert res[0]["spread"] == 11.0
+    assert res[1]["node_id"] in (11, 12)
+    assert res[1]["spread"] == 13.0
+
+
+def test_celf_probabilistic_spread_bounds(spark):
+    edges = [(0, i) for i in range(1, 6)]
+    g = from_edge_list(spark, edges, n_nodes=6)
+    res = celf(g, CelfConfig(seed_set_size=1, propagation_probability=0.3,
+                             monte_carlo_simulations=30)).collect()
+    # hub 0 is the best single seed; expected spread in [1, 6]
+    assert res[0]["node_id"] == 0
+    assert 1.0 <= res[0]["spread"] <= 6.0
