@@ -510,6 +510,29 @@ def q_celf(spark: SparkSession, sf_dir: str) -> DataFrame:
                               monte_carlo_simulations=10))
 
 
+def q_hashgnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.embeddings import (
+        HashGNNConfig, hashgnn,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    emb = hashgnn(g, HashGNNConfig(embedding_density=16, iterations=2))
+    return emb.select(
+        "id", F.array_join(F.col("embedding").cast("array<string>"), ",")
+        .alias("features"))
+
+
+def q_cnarw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.sources.generator import (
+        CnarwSampleConfig, cnarw_sample,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    sub = cnarw_sample(g, CnarwSampleConfig(sampling_ratio=0.3,
+                                            start_nodes=(0, 100, 200)))
+    return sub.nodes.select("id")
+
+
 def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = events_graph(spark, sf_dir)
     return bfs(g, [0], PathConfig(max_iterations=BFS_MAX_DEPTH)).select("id", "dist")
@@ -1157,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indirect_exposure_events_sub": q_indirect_exposure,
         "max_kcut_events_sub": q_max_kcut,
         "celf_events_sub": q_celf,
+        "hashgnn_events_sub": q_hashgnn,
+        "cnarw_sample_events_sub": q_cnarw,
         "fastrp_events_sub": q_fastrp,
         "random_walks_events_sub": q_random_walks,
         "ann_lsh_topk": q_ann_lsh,

@@ -240,3 +240,73 @@ def node2vec(graph: SparkGraph, config: Node2VecConfig | None = None) -> DataFra
         F.col("word").cast("long").alias("id"),
         vector_to_array("vector").cast("array<double>").alias("embedding"),
     )
+
+
+@dataclass
+class HashGNNConfig:
+    embedding_density: int = 16   # K: min-hash selections per iteration
+    iterations: int = 2
+    feature_dim: int = 64         # binary feature space
+    init_density: int = 4         # active features per node at init
+    neighbor_influence: float = 1.0
+    seed: int = 42
+
+
+def hashgnn(graph: SparkGraph, config: HashGNNConfig | None = None,
+            features: DataFrame | None = None) -> DataFrame:
+    """(id, embedding: array<long>): HashGNN binary embeddings
+    (reference embeddings/hashgnn/HashGNN.java:47 -- message passing where
+    each of K rounds' "aggregation" is a min-hash selection over the
+    union of own and neighbor binary features; neighborInfluence scales
+    the neighbor hash range).
+
+    Deterministic Spark formulation: features are (id, f) rows; one
+    iteration = explode K hash slots, take min_by(feature, key) per
+    (node, slot) over self-candidates (key = u_self(f, k)) and
+    neighbor-candidates (key = u_nbr(f, k) / neighborInfluence), then
+    distinct. All hash-derived -- identical on any cluster size.
+
+    `features` optionally provides initial binary features as (id, f int);
+    default init hashes each node into `init_density` of `feature_dim` bits.
+    """
+    cfg = config or HashGNNConfig()
+    if features is None:
+        feats = graph.nodes.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(cfg.init_density - 1))).alias("_j"),
+        ).select(
+            "id",
+            F.pmod(F.xxhash64("id", "_j", F.lit(cfg.seed)),
+                   F.lit(cfg.feature_dim)).alias("f"),
+        ).distinct()
+    else:
+        feats = features.select("id", F.col("f").cast("long")).distinct()
+    feats = feats.localCheckpoint(eager=True)
+    edges = graph.oriented_edges("UNDIRECTED").select(SRC, DST) \
+        .distinct().localCheckpoint(eager=True)
+
+    def ukey(*cols):
+        return (F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007)).cast("double")
+                + 0.5) / 1_000_000_007.0
+
+    ks = F.explode(F.sequence(F.lit(0), F.lit(cfg.embedding_density - 1))).alias("k")
+    for it in range(cfg.iterations):
+        own = feats.select("id", "f", ks).select(
+            "id", "k", "f",
+            ukey("f", "k", F.lit(cfg.seed * 31 + it)).alias("_key"))
+        nbr = (
+            edges.join(feats.withColumnRenamed("id", SRC), SRC)
+            .select(F.col(DST).alias("id"), "f", ks)
+            .select("id", "k", "f",
+                    (ukey("f", "k", F.lit(cfg.seed * 37 + it))
+                     / F.lit(max(cfg.neighbor_influence, 1e-9))).alias("_key"))
+        )
+        feats = (
+            own.unionByName(nbr)
+            .groupBy("id", "k")
+            .agg(F.min_by("f", "_key").alias("f"))
+            .select("id", "f").distinct()
+            .localCheckpoint(eager=True)
+        )
+    return feats.groupBy("id").agg(
+        F.array_sort(F.collect_set("f")).alias("embedding"))
