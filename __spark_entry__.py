@@ -510,6 +510,47 @@ def q_celf(spark: SparkSession, sf_dir: str) -> DataFrame:
                               monte_carlo_simulations=10))
 
 
+def q_modularity_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.leiden import (
+        modularity_optimization,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    labels, _ = modularity_optimization(g, max_rounds=8)
+    return labels.select("id", "community")
+
+
+def q_k_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.catalog import SparkGraph
+    from neo4j_graph_data_science_spark.operators.spanningtree import (
+        k_spanning_tree,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    weighted = g.edges.withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") * 11 + F.col("dst") * 17, F.lit(7)))
+        .cast("double"),
+    )
+    return k_spanning_tree(SparkGraph(nodes=g.nodes, edges=weighted), 8)         .select("id", "community")
+
+
+def q_steiner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.spanningtree import steiner_tree
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    tree = steiner_tree(g, 0, [3, 5, 7])
+    return tree.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+
+def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_data_science_spark.operators.ann import nn_descent_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = nn_descent_topk(emb, k=5, iterations=2)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_hashgnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.operators.embeddings import (
         HashGNNConfig, hashgnn,
@@ -1182,6 +1223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "celf_events_sub": q_celf,
         "hashgnn_events_sub": q_hashgnn,
         "cnarw_sample_events_sub": q_cnarw,
+        "modularity_opt_events_sub": q_modularity_opt,
+        "k_spanning_tree_events_sub": q_k_spanning,
+        "steiner_events_sub": q_steiner,
+        "nn_descent_embeddings": q_nn_descent,
         "fastrp_events_sub": q_fastrp,
         "random_walks_events_sub": q_random_walks,
         "ann_lsh_topk": q_ann_lsh,

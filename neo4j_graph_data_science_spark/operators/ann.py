@@ -1,11 +1,12 @@
 """Approximate nearest neighbor search over embedding columns.
 
 Build-brief set: brute-force cosine top-k as the exact baseline, an
-LSH-bucketed variant (random hyperplane signs) as the scale path, and
-embedding-cosine near-duplicate pairs. The related GDS capability is KNN
-(similarity/knn/Knn.java:38, NN-Descent) -- NN-Descent's async shared-state
-refinement doesn't port to shuffles, so the scale path here is hyperplane
-LSH: same contract (approximate top-k), Spark-native execution.
+LSH-bucketed variant (random hyperplane signs) as a scale path,
+embedding-cosine near-duplicate pairs (exact + banded-LSH), and a
+synchronous NN-Descent (`nn_descent_topk`) matching GDS KNN
+(similarity/knn/Knn.java:38): random-bucket init, then rounds of
+neighbor-of-neighbor proposals -- the async shared-state variant's
+semantics, expressed as BSP joins.
 
 Dot products are Catalyst expressions (zip_with + aggregate) -- JVM-side,
 codegen'd; no Python. Brute force is a broadcast of the (small) query set
@@ -200,3 +201,84 @@ def cosine_near_duplicates(
                 cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def nn_descent_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    iterations: int = 3,
+    init_buckets: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine): approximate k-NN graph via
+    NN-Descent (reference similarity/knn/Knn.java:38 -- random init, then
+    iterative refinement through neighbors-of-neighbors, the 'a neighbor of
+    my neighbor is probably my neighbor' principle).
+
+    Spark formulation: the k-NN state is a (query_id, neighbor_id) edge
+    DataFrame. Init pairs nodes within hash buckets (deterministic stand-in
+    for Knn's random sampling); each refinement round proposes the join of
+    the k-NN list with itself AND its reverse (neighbor-of-neighbor in both
+    directions), scores proposals exactly, and keeps the top k per node --
+    candidate volume is O(N * k^2) per round, never the N^2 cross join.
+    """
+    n = corpus.count()
+    if init_buckets is None:
+        init_buckets = max(int(n / max(k * 2, 1)), 1)
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")) \
+        .localCheckpoint(eager=True)
+    # THREE independent hash bucketings, unioned: a single bucketing yields
+    # disjoint cliques that neighbor-of-neighbor proposals can never leave
+    # (the refinement would be stuck in its init component); overlapping
+    # bucketings make the proposal graph connected like Knn's random init
+    knn = None
+    for j in range(3):
+        bucket = F.pmod(F.xxhash64("_id", F.lit(seed + j)),
+                        F.lit(max(init_buckets + j, 1)))
+        tagged = c.select("_id", bucket.alias("_b"))
+        pairs = (
+            tagged.alias("a").join(tagged.alias("b"), "_b")
+            .select(F.col("a._id").alias("query_id"),
+                    F.col("b._id").alias("neighbor_id"))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        knn = pairs if knn is None else knn.unionByName(pairs)
+
+    def score_and_prune(cand: DataFrame) -> DataFrame:
+        scored = (
+            cand.distinct()
+            .join(c.select(F.col("_id").alias("query_id"),
+                           F.col("_v").alias("_qv")), "query_id")
+            .join(c.select(F.col("_id").alias("neighbor_id"),
+                           F.col("_v").alias("_cv")), "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+        )
+        win = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc())
+        return (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k).drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+
+    knn = score_and_prune(knn)
+    for _ in range(iterations):
+        fwd = knn.select("query_id", "neighbor_id")
+        rev = knn.select(F.col("neighbor_id").alias("query_id"),
+                         F.col("query_id").alias("neighbor_id"))
+        undirected = fwd.unionByName(rev)
+        # neighbor-of-neighbor proposals through the undirected k-NN graph
+        non = (
+            undirected.alias("x")
+            .join(undirected.alias("y"),
+                  F.col("x.neighbor_id") == F.col("y.query_id"))
+            .select(F.col("x.query_id").alias("query_id"),
+                    F.col("y.neighbor_id").alias("neighbor_id"))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        knn = score_and_prune(
+            knn.select("query_id", "neighbor_id").unionByName(non))
+    return knn

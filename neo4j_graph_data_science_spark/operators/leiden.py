@@ -181,3 +181,33 @@ def leiden(graph: SparkGraph, config: LeidenConfig | None = None):
         if edges.filter(F.col(SRC) != F.col(DST)).isEmpty():
             break
     return out, len(modularities), modularities
+
+
+def modularity_optimization(graph: SparkGraph, seed: DataFrame | None = None,
+                            gamma: float = 1.0, max_rounds: int = 20):
+    """Standalone modularity optimization (modularityoptimization/
+    ModularityOptimization.java:61): the local-move phase alone -- no
+    contraction levels -- optionally warm-started from a seed partition
+    (id, community). Returns (labels_df(id, community), modularity)."""
+    edges = truncate(
+        graph.aggregated_edges("SUM", "UNDIRECTED")
+        .filter(F.col(SRC) != F.col(DST)),
+        "mo_edges",
+    )
+    deg = edges.groupBy(F.col(SRC).alias("id")).agg(F.sum(W).alias("k"))
+    nodes_k = truncate(
+        graph.nodes.select("id").join(deg, "id", "left").fillna(0.0, ["k"]),
+        "mo_nk",
+    )
+    two_m = nodes_k.agg(F.sum("k")).collect()[0][0] or 1.0
+    if seed is not None:
+        labels0 = nodes_k.join(
+            seed.select("id", F.col("community").alias("comm")), "id", "left"
+        ).select("id", F.coalesce("comm", F.col("id")).alias("comm"), "k")
+    else:
+        labels0 = nodes_k.select("id", F.col("id").alias("comm"), "k")
+    labels = _moves(edges, truncate(labels0, "mo_lab"), two_m, gamma,
+                    max_rounds, False, "mo_mv")
+    out = labels.select("id", F.col("comm").alias("community"))
+    q = modularity_metric(graph, out, "community").collect()[0]["modularity"]
+    return out, q

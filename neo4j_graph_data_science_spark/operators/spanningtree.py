@@ -106,3 +106,72 @@ def spanning_tree(graph: SparkGraph, start_node: int | None = None,
             tree.join(members.withColumnRenamed("id", SRC), SRC, "left_semi")
         )
     return tree
+
+
+def k_spanning_tree(graph: SparkGraph, k: int,
+                    config: SpanningTreeConfig | None = None) -> DataFrame:
+    """(id, community): partition into k trees by deleting the k-1 heaviest
+    (minimum objective; lightest for maximum) edges of the spanning tree --
+    the classic MST property behind kspanningtree/KSpanningTree.java:46.
+    Community id = min member id of each resulting tree (via WCC)."""
+    cfg = config or SpanningTreeConfig()
+    tree = spanning_tree(graph, config=cfg)
+    # minimum objective: drop the k-1 heaviest tree edges = keep the
+    # LIGHTEST |tree|-(k-1) (ascending); maximum: the mirror image
+    sign = 1.0 if cfg.objective == "minimum" else -1.0
+    keep = (
+        tree.withColumn(
+            "_key", F.struct((F.col(W) * sign).alias("w"),
+                             F.col(SRC).alias("s"), F.col(DST).alias("d")))
+        .orderBy("_key")
+        .limit(max(tree.count() - (k - 1), 0))
+        .drop("_key")
+    )
+    cut_graph = SparkGraph(
+        nodes=graph.nodes.select("id"),
+        edges=keep.select(SRC, DST, F.lit("TREE").alias("rel_type"), W),
+    )
+    return wcc(cut_graph, WccConfig()).state \
+        .select("id", F.col("component").alias("community"))
+
+
+def steiner_tree(graph: SparkGraph, source: int, targets: list[int],
+                 config: SpanningTreeConfig | None = None) -> DataFrame:
+    """(src, dst, weight): approximate Steiner tree connecting `source` to
+    every reachable target (steiner/ShortestPathsSteinerAlgorithm.java:40 --
+    the classic shortest-path 2-approximation: repeatedly attach the
+    closest unconnected terminal via its shortest path to the CURRENT
+    tree). Each round is one multi-source SSSP (all tree nodes at dist 0)
+    plus a pred-chain backtrack; rounds = number of terminals."""
+    from .paths import PathConfig, _deterministic_predecessors, shortest_paths
+
+    e = truncate(graph.aggregated_edges("MIN"), "steiner_edges")
+    tree_nodes = {int(source)}
+    remaining = [int(t) for t in targets if int(t) != int(source)]
+    tree_edges: list[tuple[int, int]] = []
+    spark = graph.nodes.sparkSession
+    while remaining:
+        srcs = sorted(tree_nodes)
+        dist = shortest_paths(graph, srcs, PathConfig())
+        drows = {r["id"]: r["dist"] for r in
+                 dist.filter(F.col("id").isin(remaining)).collect()}
+        if not drows:
+            break
+        nxt = min(remaining, key=lambda t: (drows.get(t, float("inf")), t))
+        if nxt not in drows:
+            break
+        preds = {r["id"]: r["pred"] for r in
+                 _deterministic_predecessors(e, dist).collect()}
+        cur = nxt
+        while cur not in tree_nodes:
+            p = preds.get(cur)
+            if p is None:
+                break
+            tree_edges.append((int(p), int(cur)))
+            tree_nodes.add(cur)
+            cur = p
+        remaining.remove(nxt)
+    if not tree_edges:
+        return spark.createDataFrame([], f"{SRC} long, {DST} long, {W} double")
+    te = spark.createDataFrame(tree_edges, f"{SRC} long, {DST} long").distinct()
+    return te.join(e.select(SRC, DST, W), [SRC, DST], "left").fillna(1.0, [W])

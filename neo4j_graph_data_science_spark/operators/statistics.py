@@ -97,6 +97,13 @@ _STATE_WIDTHS = {
     "fastrp": 8,          # + dim * 8 (below)
     "hits": 24,
     "kcore": 16,
+    "sllpa": 48,          # map-typed label memory
+    "kmeans": 16,         # + dim * 8
+    "node2vec": 8,        # + dim * 8 (walk rows are transient)
+    "hashgnn": 8,         # + density * 8
+    "maxkcut": 16,
+    "celf": 24,           # x simulations via pair rows (see betweenness)
+    "spanningtree": 24,
 }
 
 

@@ -48,3 +48,24 @@ def test_leiden_high_gamma_splits(spark):
     labels, _, _ = leiden(g, LeidenConfig(gamma=2.0))
     got = {r["id"]: r["community"] for r in labels.collect()}
     assert got[0] != got[3]
+
+
+def test_modularity_optimization_standalone(spark):
+    from neo4j_graph_data_science_spark.operators.leiden import (
+        modularity_optimization,
+    )
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    g = from_edge_list(spark, tri1 + tri2 + [(2, 3)], n_nodes=6)
+    labels, q = modularity_optimization(g)
+    got = {r["id"]: r["community"] for r in labels.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert q > 0.3
+    # seed warm-start: planted perfect partition stays put
+    seed = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, community long")
+    labels2, q2 = modularity_optimization(g, seed=seed)
+    got2 = {r["id"]: r["community"] for r in labels2.collect()}
+    assert got2[0] == got2[1] == got2[2] and got2[3] == got2[4] == got2[5]
+    assert q2 >= q - 1e-9

@@ -53,3 +53,16 @@ def test_start_node_restricts_component(spark):
     g = from_edge_list(spark, EDGES, n_nodes=8)
     got = sorted((r["src"], r["dst"]) for r in spanning_tree(g, start_node=6).collect())
     assert got == [(6, 7)]
+
+
+def test_k_spanning_tree(spark):
+    from neo4j_graph_data_science_spark.operators.spanningtree import (
+        k_spanning_tree,
+    )
+    # chain 0-1-2-3-4 with one heavy edge (2-3, w 10): k=2 must cut there
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 10.0), (3, 4, 1.0)]
+    g = from_edge_list(spark, edges, n_nodes=5)
+    comm = {r["id"]: r["community"] for r in k_spanning_tree(g, 2).collect()}
+    assert comm[0] == comm[1] == comm[2]
+    assert comm[3] == comm[4]
+    assert comm[0] != comm[3]
