@@ -1083,6 +1083,23 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("distance_from_centroid", 4).alias("dist"))
 
 
+def q_hdbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN (kNN mutual-reachability MST + cut extraction) over the
+    embeddings table (rows-only: MST tie-breaks under equal mutual-
+    reachability weights are plan-order-dependent)."""
+    from neo4j_graph_data_science_spark.operators.clustering import (
+        HdbscanConfig, hdbscan,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    # cut 1.19 sits mid-distribution of the mutual-reachability MST weights
+    # on the near-uniform unit-vector embeddings (p10 1.16 / p90 1.20), so
+    # the extraction exercises both the cluster and the noise branch
+    out = hdbscan(emb, HdbscanConfig(min_pts=4, knn_k=10, cut_distance=1.19,
+                                     min_cluster_size=5), id_col="vec_id")
+    return out.select(F.col("id").alias("vec_id"), "cluster")
+
+
 def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec walks + Word2Vec SGNS on the SCC event subgraph
     (rows-only: SGD training is scheduling-dependent)."""
@@ -1212,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_events_sub": q_louvain,
         "leiden_events_sub": q_leiden,
         "kmeans_embeddings": q_kmeans,
+        "hdbscan_embeddings": q_hdbscan,
         "node2vec_events_sub": q_node2vec,
         "dfs_events_sub": q_dfs,
         "sllpa_events_sub": q_sllpa,

@@ -28,7 +28,8 @@ from .operators.wcc import WccConfig, wcc
 from .session import get_spark
 from .sources.transcripts import derive_edges, transcript_id_map
 
-ALGOS = ("pagerank", "wcc", "scc", "labelprop", "triangles")
+ALGOS = ("pagerank", "wcc", "scc", "labelprop", "triangles", "betweenness",
+         "louvain", "leiden", "degree", "hits", "fastrp", "node2vec")
 
 
 def load_transcripts(spark: SparkSession, path: str, fmt: str):
@@ -61,6 +62,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--master", default=None)
+    p.add_argument("--sampling-size", type=int, default=None,
+                   help="betweenness: number of sampled sources (None = exact)")
     args = p.parse_args(argv)
 
     pre_existing = SparkSession.getActiveSession() is not None
@@ -95,8 +98,33 @@ def main(argv: list[str] | None = None) -> int:
         out, meta["iterations"], meta["converged"] = res.state, res.iterations, res.converged
     elif args.algorithm == "scc":
         out = scc(g, SccConfig(partitions=args.partitions))
-    else:
+    elif args.algorithm == "triangles":
         out = triangle_count(g, TriangleCountConfig())
+    elif args.algorithm == "betweenness":
+        from .operators.betweenness import BetweennessConfig, betweenness
+        out = betweenness(g, BetweennessConfig(
+            sampling_size=args.sampling_size))
+    elif args.algorithm == "louvain":
+        from .operators.louvain import LouvainConfig, louvain
+        labels, meta["levels"], meta["modularities"] = louvain(
+            g, LouvainConfig(max_levels=args.max_iterations or 10))
+        out = labels
+    elif args.algorithm == "leiden":
+        from .operators.leiden import LeidenConfig, leiden
+        labels, meta["levels"], meta["modularities"] = leiden(
+            g, LeidenConfig(max_levels=args.max_iterations or 10))
+        out = labels
+    elif args.algorithm == "degree":
+        out = g.degrees()
+    elif args.algorithm == "hits":
+        from .operators.centrality import HitsConfig, hits
+        out = hits(g, HitsConfig(hits_iterations=args.max_iterations or 20))
+    elif args.algorithm == "fastrp":
+        from .operators.embeddings import FastRPConfig, fast_rp
+        out = fast_rp(g, FastRPConfig(partitions=args.partitions))
+    else:
+        from .operators.embeddings import Node2VecConfig, node2vec
+        out = node2vec(g, Node2VecConfig())
 
     result = g.to_original_ids(out)
     if args.output_iceberg:

@@ -25,7 +25,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector yields NULL (sorts last in any
+    # similarity ranking) instead of an ANSI DIVIDE_BY_ZERO error
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def euclidean_distance(a: Column, b: Column) -> Column:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine
+from ..functions.vector import cosine, euclidean_distance
 
 
 def brute_force_topk(
@@ -211,8 +211,9 @@ def nn_descent_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """(query_id, neighbor_id, cosine): approximate k-NN graph via
+    """(query_id, neighbor_id, cosine | distance): approximate k-NN graph via
     NN-Descent (reference similarity/knn/Knn.java:38 -- random init, then
     iterative refinement through neighbors-of-neighbors, the 'a neighbor of
     my neighbor is probably my neighbor' principle).
@@ -223,7 +224,13 @@ def nn_descent_topk(
     the k-NN list with itself AND its reverse (neighbor-of-neighbor in both
     directions), scores proposals exactly, and keeps the top k per node --
     candidate volume is O(N * k^2) per round, never the N^2 cross join.
+
+    metric: "cosine" (score column `cosine`, higher = nearer) or
+    "euclidean" (score column `distance`, lower = nearer) -- matches Knn's
+    pluggable SimilarityComputer.
     """
+    if metric not in ("cosine", "euclidean"):
+        raise ValueError(f"unknown metric {metric!r}")
     n = corpus.count()
     if init_buckets is None:
         init_buckets = max(int(n / max(k * 2, 1)), 1)
@@ -253,11 +260,13 @@ def nn_descent_topk(
                            F.col("_v").alias("_qv")), "query_id")
             .join(c.select(F.col("_id").alias("neighbor_id"),
                            F.col("_v").alias("_cv")), "neighbor_id")
-            .select("query_id", "neighbor_id",
-                    cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+            .select("query_id", "neighbor_id", (
+                cosine(F.col("_qv"), F.col("_cv")) if metric == "cosine"
+                else -euclidean_distance(F.col("_qv"), F.col("_cv"))
+            ).alias("_score"))
         )
         win = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc())
+            F.col("_score").desc(), F.col("neighbor_id").asc())
         return (
             scored.withColumn("_rn", F.row_number().over(win))
             .filter(F.col("_rn") <= k).drop("_rn")
@@ -281,4 +290,6 @@ def nn_descent_topk(
         )
         knn = score_and_prune(
             knn.select("query_id", "neighbor_id").unionByName(non))
-    return knn
+    out_score = (F.col("_score").alias("cosine") if metric == "cosine"
+                 else (-F.col("_score")).alias("distance"))
+    return knn.select("query_id", "neighbor_id", out_score)

@@ -49,7 +49,10 @@ def spanning_tree(graph: SparkGraph, start_node: int | None = None,
         "mst_edges",
     )
     comp = truncate(graph.nodes.select("id", F.col("id").alias("comp")), "mst_comp")
-    picked_all: list[DataFrame] = []
+    # running tree union, re-snapshotted under its own tag every round: a
+    # per-round list of `mst_pick` snapshots would outlive the tag's keep=2
+    # window (>=3 Boruvka rounds -> FileNotFound on the union)
+    tree: DataFrame | None = None
 
     for _ in range(cfg.max_rounds):
         ec = (
@@ -72,7 +75,8 @@ def spanning_tree(graph: SparkGraph, start_node: int | None = None,
             .distinct()
         )
         pick = truncate(pick, "mst_pick")
-        picked_all.append(pick)
+        tree = pick if tree is None else truncate(
+            tree.unionByName(pick).distinct(), "mst_tree")
         # merge components connected by picked edges: WCC on the comp graph
         cg_edges = (
             pick.join(comp.select(F.col("id").alias(SRC),
@@ -92,12 +96,9 @@ def spanning_tree(graph: SparkGraph, start_node: int | None = None,
             "mst_comp",
         )
 
-    if not picked_all:
+    if tree is None:
         return graph.nodes.sparkSession.createDataFrame(
             [], f"{SRC} long, {DST} long, {W} double")
-    tree = picked_all[0]
-    for p in picked_all[1:]:
-        tree = tree.unionByName(p)
     tree = tree.distinct()
     if start_node is not None:
         in_comp = comp.filter(F.col("id") == start_node).select("comp")
