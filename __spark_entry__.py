@@ -747,6 +747,18 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("centrality", 6).alias("centrality"))
 
 
+def q_all_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-parallel MS-BFS all-shortest-paths stream (hop distances) on the
+    SCC event subgraph."""
+    from neo4j_graph_data_science_spark.operators.msbfs import (
+        all_shortest_paths,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    out = all_shortest_paths(g, max_depth=100)
+    return out.select("source", "target", F.col("dist").cast("long").alias("dist"))
+
+
 def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.operators.centrality import (
         ClosenessConfig, closeness_centrality,
@@ -1215,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_sims": q_vector_sims,
         "hits_events": q_hits,
         "harmonic_events_sub": q_harmonic,
+        "all_shortest_paths_events_sub": q_all_shortest_paths,
         "closeness_events_sub": q_closeness,
         "modularity_wcc_events": q_modularity_wcc,
         "conductance_lpa_events": q_conductance_lpa,
@@ -1654,6 +1667,17 @@ nn AS (SELECT count(*) AS n FROM nodes),
 s AS (SELECT id, sum(1.0 / dist) AS sm FROM md WHERE dist > 0 GROUP BY id)
 SELECT n.id, round(coalesce(s.sm, 0.0) / (nn.n - 1), 6) AS centrality
 FROM nodes n LEFT JOIN s ON n.id = s.id CROSS JOIN nn ORDER BY n.id""",
+        "all_shortest_paths_events_sub": f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+edges_d AS (SELECT DISTINCT src, dst FROM raw_edges),
+r(source, id, d) AS (
+  SELECT id AS source, id, 0 AS d FROM nodes
+  UNION
+  SELECT r.source, e.dst AS id, r.d + 1 AS d FROM r JOIN edges_d e ON r.id = e.src
+  WHERE r.d < 100
+)
+SELECT source, id AS target, min(d)::BIGINT AS dist
+FROM r GROUP BY source, id ORDER BY source, target""",
         "closeness_events_sub": f"""WITH RECURSIVE {_SCC_SUB},
 {_ev_ctes("events_sub")},
 edges_d AS (SELECT DISTINCT src, dst FROM raw_edges),

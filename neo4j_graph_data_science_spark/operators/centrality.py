@@ -9,12 +9,12 @@ Each phase is one groupBy-sum shuffle + one scalar norm (computed in the
 same agg pass as the materialization -- no extra job).
 
 Harmonic / closeness (reference closeness/ClosenessCentrality.java:44,
-harmonic/HarmonicCentrality.java:37): exact values need all-source BFS
-(GDS runs MS-BFS, 64 sources per bit-mask pass). The DataFrame formulation
-is a pair-frontier BFS: state (source, node, dist) expanded one hop per
-superstep with a min-reducer on (source, node). Exact, but state is
-O(sum of reachable pairs): use the ``sources`` parameter to bound work at
-scale (sampled-source approximation, same as GDS's sampling option).
+harmonic/HarmonicCentrality.java:37): exact values need all-source BFS.
+Like GDS, the traversal is bit-parallel MS-BFS (operators/msbfs.py, 64
+sources per long mask), consuming per-depth newly-visited COUNTS -- state
+is O(V * S/64) rows, never the (source, node) pair space. ``sources``
+additionally bounds S (sampled-source approximation, same as GDS's
+sampling option).
 
   harmonic(v) = sum_{u != v, d(u,v) < inf} 1/d(u,v) / (n - 1)
   closeness(v) (Wasserman-Faust) = (r(v)-1)/(n-1) * (r(v)-1)/sum_dist
@@ -96,33 +96,6 @@ def hits(graph: SparkGraph, config: HitsConfig | None = None) -> DataFrame:
     return state.select("id", "auth", "hub")
 
 
-def _pair_bfs(edges: DataFrame, sources: DataFrame, max_depth: int) -> DataFrame:
-    """(source, id, dist) shortest hop distances from every source.
-
-    Frontier expansion with min-reduce per (source, id); each superstep is
-    one join + one combined shuffle. State grows with reachable pairs --
-    callers bound `sources` for scale.
-    """
-    state = sources.select(
-        F.col("id").alias("source"), F.col("id"), F.lit(0).alias("dist")
-    ).localCheckpoint(eager=True)
-    frontier = state
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            edges.join(frontier.withColumnRenamed("id", SRC), SRC)
-            .select("source", F.col(DST).alias("id"), F.lit(depth).alias("dist"))
-            .distinct()
-            .join(state.select("source", "id").withColumn("_seen", F.lit(1)),
-                  ["source", "id"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.count() == 0:
-            break
-        state = state.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    return state
-
-
 @dataclass
 class ClosenessConfig:
     sources: Sequence[int] | None = None   # None = all nodes (exact)
@@ -142,11 +115,12 @@ def harmonic_centrality(graph: SparkGraph, config: ClosenessConfig | None = None
     src_df = nodes if cfg.sources is None else nodes.filter(
         F.col("id").isin([int(s) for s in cfg.sources])
     )
-    dists = _pair_bfs(edges, src_df, cfg.max_depth)
+    from .msbfs import msbfs_depth_counts
+
+    counts = msbfs_depth_counts(edges, src_df, cfg.max_depth)
     inv = (
-        dists.filter(F.col("dist") > 0)
-        .groupBy("id")
-        .agg(F.sum(1.0 / F.col("dist")).alias("_s"))
+        counts.groupBy("id")
+        .agg(F.sum(F.col("cnt") / F.col("dist")).alias("_s"))
     )
     out = nodes.join(inv, "id", "left").select(
         "id",
@@ -166,11 +140,13 @@ def closeness_centrality(graph: SparkGraph, config: ClosenessConfig | None = Non
     src_df = nodes if cfg.sources is None else nodes.filter(
         F.col("id").isin([int(s) for s in cfg.sources])
     )
-    dists = _pair_bfs(edges, src_df, cfg.max_depth)
+    from .msbfs import msbfs_depth_counts
+
+    counts = msbfs_depth_counts(edges, src_df, cfg.max_depth)
     agg = (
-        dists.filter(F.col("dist") > 0)
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("_r"), F.sum("dist").alias("_sd"))
+        counts.groupBy("id")
+        .agg(F.sum("cnt").alias("_r"),
+             F.sum(F.col("cnt") * F.col("dist")).alias("_sd"))
     )
     base = F.col("_r") / F.col("_sd")
     if cfg.wasserman_faust:
