@@ -1095,6 +1095,22 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("distance_from_centroid", 4).alias("dist"))
 
 
+def q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE over the SCC event subgraph with default degree features
+    (rows-only: the trained-weight forward pass is non-SQL-expressible)."""
+    from neo4j_graph_data_science_spark.operators.graphsage import (
+        GraphSageConfig, graphsage,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    cfg = GraphSageConfig(embedding_dim=16, hidden_dim=16,
+                          train_node_count=256, epochs=5, seed=42)
+    out = graphsage(g, None, cfg)
+    return out.select(
+        "id", F.transform("embedding", lambda x: F.round(x, 5)).alias("emb")
+    )
+
+
 def q_hdbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HDBSCAN (kNN mutual-reachability MST + cut extraction) over the
     embeddings table (rows-only: MST tie-breaks under equal mutual-
@@ -1243,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden_events_sub": q_leiden,
         "kmeans_embeddings": q_kmeans,
         "hdbscan_embeddings": q_hdbscan,
+        "graphsage_events_sub": q_graphsage,
         "node2vec_events_sub": q_node2vec,
         "dfs_events_sub": q_dfs,
         "sllpa_events_sub": q_sllpa,

@@ -1,0 +1,65 @@
+"""GraphSAGE: embedding geometry should reflect community structure when
+features carry the signal, and the whole pipeline must be deterministic."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from neo4j_graph_data_science_spark.catalog import from_edge_list
+from neo4j_graph_data_science_spark.operators.graphsage import (
+    GraphSageConfig,
+    graphsage,
+    graphsage_predict,
+    graphsage_train,
+)
+
+
+def _two_cliques(spark):
+    edges = []
+    for i in range(8):
+        for j in range(i + 1, 8):
+            edges.append((i, j))
+            edges.append((8 + i, 8 + j))
+    edges.append((0, 8))  # bridge
+    g = from_edge_list(spark, edges, n_nodes=16)
+    rows = []
+    for v in range(16):
+        base = [1.0, 0.0] if v < 8 else [0.0, 1.0]
+        noise = [((v * 37 + k) % 10) / 100.0 for k in range(2)]
+        rows.append((v, [base[0] + noise[0], base[1] + noise[1]]))
+    feats = spark.createDataFrame(rows, "id long, features array<double>")
+    return g, feats
+
+
+def test_graphsage_separates_communities(spark):
+    g, feats = _two_cliques(spark)
+    cfg = GraphSageConfig(embedding_dim=8, hidden_dim=8,
+                          train_node_count=16, epochs=30, seed=1)
+    emb = {r["id"]: np.array(r["embedding"])
+           for r in graphsage(g, feats, cfg).collect()}
+    assert all(len(v) == 8 for v in emb.values())
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+    within = np.mean([cos(emb[i], emb[j])
+                      for i in range(8) for j in range(i + 1, 8)])
+    across = np.mean([cos(emb[i], emb[8 + j])
+                      for i in range(8) for j in range(8)])
+    assert within > across
+
+
+def test_graphsage_deterministic(spark):
+    g, feats = _two_cliques(spark)
+    cfg = GraphSageConfig(embedding_dim=4, hidden_dim=4,
+                          train_node_count=16, epochs=5, seed=7)
+    m1 = graphsage_train(g, feats, cfg)
+    m2 = graphsage_train(g, feats, cfg)
+    for k in ("Ws1", "Wn1", "Ws2", "Wn2"):
+        assert np.allclose(m1[k], m2[k])
+    e1 = sorted((r["id"], tuple(np.round(r["embedding"], 9)))
+                for r in graphsage_predict(g, m1, feats, cfg).collect())
+    e2 = sorted((r["id"], tuple(np.round(r["embedding"], 9)))
+                for r in graphsage_predict(g, m2, feats, cfg).collect())
+    assert e1 == e2
