@@ -1111,6 +1111,56 @@ def q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-classification pipeline (degree + PageRank features, logistic
+    regression) on the SCC event subgraph; label = has-above-median-degree
+    (rows-only: spark.ml training splits are partitioning-dependent)."""
+    from neo4j_graph_data_science_spark.pipelines import (
+        NodeClassificationPipeline,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+
+    def pr(gr):
+        return page_rank(gr, PageRankConfig(max_iterations=5)).state
+
+    pipe = (
+        NodeClassificationPipeline()
+        .add_node_property("deg", lambda gr: gr.degrees("UNDIRECTED"))
+        .add_node_property("pr", pr)
+    )
+    deg = g.degrees("UNDIRECTED")
+    med = deg.approxQuantile("degree", [0.5], 0.0)[0]
+    labels = g.nodes.join(deg, "id", "left").select(
+        "id", (F.coalesce("degree", F.lit(0)) > med).cast("long").alias("label")
+    )
+    model, _ = pipe.train(g, labels, holdout=0.25)
+    return pipe.predict(g, model).select("id", "predicted_class")
+
+
+def q_lp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction pipeline (hadamard link features over degree+PageRank)
+    on the SCC event subgraph; top-20 scored non-edges (rows-only)."""
+    from neo4j_graph_data_science_spark.pipelines import (
+        LinkPredictionPipeline,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+
+    def pr(gr):
+        return page_rank(gr, PageRankConfig(max_iterations=5)).state
+
+    pipe = (
+        LinkPredictionPipeline()
+        .add_node_property("deg", lambda gr: gr.degrees("UNDIRECTED"))
+        .add_node_property("pr", pr)
+        .add_link_feature("hadamard")
+    )
+    model, _ = pipe.train(g, holdout=0.25, seed=42)
+    out = pipe.predict(g, model, top_n=20)
+    return out.select("src", "dst")
+
+
 def q_hdbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HDBSCAN (kNN mutual-reachability MST + cut extraction) over the
     embeddings table (rows-only: MST tie-breaks under equal mutual-
@@ -1260,6 +1310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans,
         "hdbscan_embeddings": q_hdbscan,
         "graphsage_events_sub": q_graphsage,
+        "nc_pipeline_events_sub": q_nc_pipeline,
+        "lp_pipeline_events_sub": q_lp_pipeline,
         "node2vec_events_sub": q_node2vec,
         "dfs_events_sub": q_dfs,
         "sllpa_events_sub": q_sllpa,
