@@ -55,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True,
                    help="result sink: parquet dir (or iceberg table with --output-iceberg)")
     p.add_argument("--output-iceberg", action="store_true")
+    p.add_argument("--output-format", choices=("parquet", "csv"),
+                   default="parquet",
+                   help="result file format when not writing to Iceberg")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--run-id", default="run")
     p.add_argument("--max-iterations", type=int, default=None)
@@ -129,6 +132,16 @@ def main(argv: list[str] | None = None) -> int:
     result = g.to_original_ids(out)
     if args.output_iceberg:
         result.writeTo(args.output).createOrReplace()
+    elif args.output_format == "csv":
+        from pyspark.sql import functions as F
+
+        cols = [
+            F.to_json(c).alias(c) if t.startswith(("array", "struct"))
+            else F.col(c)
+            for c, t in result.dtypes
+        ]
+        result.select(*cols).write.mode("overwrite") \
+            .option("header", True).csv(args.output)
     else:
         result.write.mode("overwrite").parquet(args.output)
     meta["rows"] = result.count()

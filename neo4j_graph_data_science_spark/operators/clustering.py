@@ -94,9 +94,142 @@ def kmeans_node_property(graph: SparkGraph, property_col: str,
 class HdbscanConfig:
     min_pts: int = 5             # core-distance neighbor count
     knn_k: int = 15              # candidate-edge pool per point
-    cut_distance: float = 1.0    # flat extraction level (HDBSCAN(eps))
+    cut_distance: float = 1.0    # flat extraction level (eps mode)
     min_cluster_size: int = 5
     nn_iterations: int = 3
+    extraction: str = "eps"      # "eps" | "stability" (excess-of-mass)
+    allow_single_cluster: bool = False
+
+
+def _stability_extract(ids: list, mst: list, min_cluster_size: int,
+                       allow_single_cluster: bool) -> dict:
+    """Condensed-tree excess-of-mass extraction: single-linkage dendrogram
+    over the MST, condense with min_cluster_size, select the clusters
+    maximizing total stability sum(lambda_fall - lambda_birth)
+    (hdbscan/HDBScan.java condensed-tree + stability selection). Driver
+    post-pass over the O(V) MST; everything upstream stays distributed."""
+    mcs = max(min_cluster_size, 2)
+    n = len(ids)
+    if n == 0:
+        return {}
+    idx = {v: i for i, v in enumerate(ids)}
+    edges = sorted((float(w), idx[a], idx[b]) for a, b, w in mst)
+
+    # single-linkage dendrogram via union-find (leaves 0..n-1)
+    root = list(range(n))
+
+    def find(x: int) -> int:
+        while root[x] != x:
+            root[x] = root[root[x]]
+            x = root[x]
+        return x
+
+    comp_node = list(range(n))
+    left: dict[int, int] = {}
+    right: dict[int, int] = {}
+    dist: dict[int, float] = {}
+    size: dict[int, int] = {i: 1 for i in range(n)}
+    nxt = n
+    for w, a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        node = nxt
+        nxt += 1
+        left[node], right[node] = comp_node[ra], comp_node[rb]
+        dist[node] = w
+        size[node] = size[comp_node[ra]] + size[comp_node[rb]]
+        root[rb] = ra
+        comp_node[ra] = node
+    roots = {comp_node[find(i)] for i in range(n)}
+
+    def leaves_of(node: int):
+        st = [node]
+        while st:
+            x = st.pop()
+            if x < n:
+                yield x
+            else:
+                st.append(left[x])
+                st.append(right[x])
+
+    # condensed tree
+    birth: dict[int, float] = {}
+    parentc: dict[int, int | None] = {}
+    childrenc: dict[int, list[int]] = {}
+    falls: list[tuple[int, int, float]] = []   # (leaf, cluster, lambda)
+    noise: list[int] = []
+    cid = 0
+    stack: list[tuple[int, int]] = []
+    roots_big = [r for r in sorted(roots) if size[r] >= mcs]
+    for r in sorted(roots):
+        if size[r] < mcs:
+            noise.extend(leaves_of(r))
+    if len(roots_big) == 1:
+        birth[cid], parentc[cid], childrenc[cid] = 0.0, None, []
+        stack.append((roots_big[0], cid))
+        cid += 1
+    elif roots_big:
+        # disconnected mutual-reachability graph: components join under a
+        # virtual root at lambda -> 0 (dist = inf), so each component is a
+        # selectable child cluster, not an unselectable root
+        birth[cid], parentc[cid], childrenc[cid] = 0.0, None, []
+        vroot = cid
+        cid += 1
+        for r in roots_big:
+            birth[cid], parentc[cid], childrenc[cid] = 0.0, vroot, []
+            childrenc[vroot].append(cid)
+            stack.append((r, cid))
+            cid += 1
+    while stack:
+        node, c = stack.pop()
+        l, r_ = left[node], right[node]
+        lam = 1.0 / max(dist[node], 1e-12)
+        big = [ch for ch in (l, r_) if size[ch] >= mcs]
+        if len(big) == 2:
+            for ch in (l, r_):
+                birth[cid], parentc[cid], childrenc[cid] = lam, c, []
+                childrenc[c].append(cid)
+                stack.append((ch, cid))
+                cid += 1
+        else:
+            for ch in (l, r_):
+                if size[ch] >= mcs:
+                    stack.append((ch, c))
+                else:
+                    falls.extend((p, c, lam) for p in leaves_of(ch))
+
+    stability = {c: 0.0 for c in birth}
+    for _, c, lam in falls:
+        stability[c] += lam - birth[c]
+
+    # excess-of-mass selection, children first
+    shat: dict[int, float] = {}
+    selected: dict[int, bool] = {}
+    for c in sorted(birth, reverse=True):
+        s_children = sum(shat[ch] for ch in childrenc[c])
+        root_cluster = parentc[c] is None
+        if childrenc[c] and (s_children > stability[c]
+                             or (root_cluster and not allow_single_cluster)):
+            shat[c], selected[c] = s_children, False
+        elif root_cluster and not allow_single_cluster:
+            shat[c], selected[c] = stability[c], False
+        else:
+            shat[c], selected[c] = stability[c], True
+
+    # topmost selected cluster on each root->c path wins
+    assigned: dict[int, int | None] = {}
+    for c in sorted(birth):
+        p = parentc[c]
+        up = assigned.get(p) if p is not None else None
+        assigned[c] = up if up is not None else (c if selected[c] else None)
+    label_ids = sorted({a for a in assigned.values() if a is not None})
+    renum = {c: i for i, c in enumerate(label_ids)}
+    out = {ids[p]: -1 for p in noise}
+    for p, c, _ in falls:
+        a = assigned[c]
+        out[ids[p]] = renum[a] if a is not None else -1
+    return out
 
 
 def hdbscan(vectors: DataFrame, config: HdbscanConfig | None = None,
@@ -111,11 +244,13 @@ def hdbscan(vectors: DataFrame, config: HdbscanConfig | None = None,
          the all-pairs mutual-reachability graph);
       4. minimum spanning tree over those weights (Boruvka,
          operators/spanningtree);
-      5. flat extraction: cut MST edges above cut_distance, clusters =
-         remaining components, components smaller than min_cluster_size
-         become noise (cluster = -1) -- the HDBSCAN(eps) flat variant; the
-         reference's condensed-tree stability selection is a driver-side
-         post-pass over the O(V) MST that this pipeline makes available.
+      5. extraction -- either
+         * "eps": cut MST edges above cut_distance, clusters = remaining
+           components, small components become noise (cluster = -1), all
+           distributed; or
+         * "stability": the reference's condensed-tree excess-of-mass
+           selection (_stability_extract), a driver post-pass over the
+           O(V) MST -- no cut level needed.
     """
     from ..catalog import DST, SRC, SparkGraph, W
     from ..plans.checkpoint import truncate
@@ -138,7 +273,32 @@ def hdbscan(vectors: DataFrame, config: HdbscanConfig | None = None,
         metric="euclidean",
     ).select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"),
              F.col("distance").alias("d"))
-    scored = truncate(scored, "hdb_knn")
+    # connectivity backbone: consecutive points in (partition-parallel)
+    # dense-id order, with EXACT distances. Guarantees the mutual-
+    # reachability graph is connected, so the dendrogram has one true root
+    # (like the reference's complete-graph MST) instead of per-component
+    # roots the stability extraction can't rank; within dense regions the
+    # real kNN edges dominate the MST anyway.
+    from ..catalog import bucketed_dense_ids
+
+    seq = bucketed_dense_ids(pts.select(F.col("id").alias("_pid")), ["_pid"],
+                             F.floor(F.col("_pid") / F.lit(65536)))
+    backbone_pairs = (
+        seq.select(F.col("id").alias("_k"), F.col("_pid").alias("a"))
+        .join(seq.select((F.col("id") - 1).alias("_k"),
+                         F.col("_pid").alias("b")), "_k")
+        .select("a", "b")
+    )
+    bdist = F.sqrt(F.aggregate(
+        F.zip_with("_qv", "_cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    backbone = (
+        backbone_pairs
+        .join(pts.select(F.col("id").alias("a"), F.col("_v").alias("_qv")), "a")
+        .join(pts.select(F.col("id").alias("b"), F.col("_v").alias("_cv")), "b")
+        .select("a", "b", bdist.alias("d"))
+    )
+    scored = truncate(scored.unionByName(backbone), "hdb_knn")
 
     from pyspark.sql.window import Window
 
@@ -162,6 +322,16 @@ def hdbscan(vectors: DataFrame, config: HdbscanConfig | None = None,
     )
     g = SparkGraph(nodes=pts.select("id"), edges=mr)
     tree = spanning_tree(g)
+    if cfg.extraction == "stability":
+        ids = [r["id"] for r in pts.select("id").collect()]
+        mst = [(r[SRC], r[DST], r[W]) for r in tree.collect()]
+        labels = _stability_extract(ids, mst, cfg.min_cluster_size,
+                                    cfg.allow_single_cluster)
+        spark = vectors.sparkSession
+        return spark.createDataFrame(
+            [(int(i), int(labels.get(i, -1))) for i in ids],
+            "id long, cluster long",
+        )
     kept = tree.filter(F.col(W) <= cfg.cut_distance)
     comp = wcc(SparkGraph(
         nodes=pts.select("id"),

@@ -25,3 +25,24 @@ def test_hdbscan_two_blobs_and_noise(spark):
     assert len(a) == 1 and len(b) == 1 and a != b
     assert -1 not in a and -1 not in b
     assert out[500] == -1 and out[501] == -1
+
+
+def test_hdbscan_stability_extraction(spark):
+    # no cut level: the condensed-tree excess-of-mass selection must find
+    # the two blobs by itself and leave the outliers as noise
+    rows = []
+    for i in range(12):
+        rows.append((i, [0.0 + (i % 4) * 0.1, 0.0 + (i % 3) * 0.1]))
+        rows.append((100 + i, [10.0 + (i % 4) * 0.1, 10.0 + (i % 3) * 0.1]))
+    rows += [(500, [50.0, 50.0]), (501, [-50.0, 40.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = {r["id"]: r["cluster"]
+           for r in hdbscan(df, HdbscanConfig(min_pts=3, knn_k=6,
+                                              min_cluster_size=4,
+                                              extraction="stability"))
+           .collect()}
+    a = {out[i] for i in range(12)}
+    b = {out[100 + i] for i in range(12)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    assert -1 not in a and -1 not in b
+    assert out[500] == -1 and out[501] == -1
