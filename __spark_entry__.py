@@ -543,6 +543,27 @@ def q_steiner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree.select("src", "dst", F.round("weight", 6).alias("weight"))
 
 
+def q_prize_steiner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prize-collecting Steiner tree (pricesteiner/PCSTFast.java:40) on the
+    SCC subgraph with deterministic hash weights and prizes: rows-only
+    (leaf-peeling DP is not SQL-expressible)."""
+    from neo4j_graph_data_science_spark.catalog import SparkGraph
+    from neo4j_graph_data_science_spark.operators.spanningtree import (
+        prize_steiner_tree,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    weighted = g.edges.withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") * 11 + F.col("dst") * 17, F.lit(7)))
+        .cast("double"),
+    )
+    prizes = g.nodes.select(
+        "id", F.pmod(F.col("id") * 13, F.lit(9)).cast("double").alias("prize"))
+    out = prize_steiner_tree(SparkGraph(nodes=g.nodes, edges=weighted), prizes)
+    return out.select("id", "parent", F.round("cost", 6).alias("cost"))
+
+
 def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.operators.ann import nn_descent_topk
 
@@ -1326,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_opt_events_sub": q_modularity_opt,
         "k_spanning_tree_events_sub": q_k_spanning,
         "steiner_events_sub": q_steiner,
+        "prize_steiner_events_sub": q_prize_steiner,
         "nn_descent_embeddings": q_nn_descent,
         "fastrp_events_sub": q_fastrp,
         "random_walks_events_sub": q_random_walks,

@@ -217,6 +217,7 @@ def from_edge_list(
     n_nodes: int | None = None,
     rel_type: str = "REL",
     orientation: Orientation | str = Orientation.NATURAL,
+    node_ids: list[int] | None = None,
 ) -> SparkGraph:
     """Tiny-fixture constructor -- the pytest analogue of GDS's GDL graphs
     (gdl-graph/.../GdlFactory.java:78-90)."""
@@ -234,6 +235,9 @@ def from_edge_list(
          REL: pd.Series(dtype="object"), W: pd.Series(dtype="float64")}
     )
     edges = spark.createDataFrame(pdf, f"{SRC} long, {DST} long, {REL} string, {W} double")
+    if node_ids is not None:
+        nodes = spark.createDataFrame([(int(i),) for i in node_ids], "id long")
+        return SparkGraph(nodes, edges, None, Orientation(orientation))
     if n_nodes is None:
         ids = {i for e in edge_list for i in (e[0], e[1])}
         n_nodes = (max(ids) + 1) if ids else 0

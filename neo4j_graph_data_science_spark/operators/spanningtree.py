@@ -136,6 +136,137 @@ def k_spanning_tree(graph: SparkGraph, k: int,
         .select("id", F.col("component").alias("community"))
 
 
+@dataclass
+class PrizeSteinerConfig:
+    max_rounds: int = 200
+
+
+def prize_steiner_tree(graph: SparkGraph, prizes: DataFrame,
+                       config: PrizeSteinerConfig | None = None) -> DataFrame:
+    """Prize-collecting Steiner tree: (id, parent, cost) rows of the best
+    net-worth subtree (node prizes minus edge costs). `prizes` is
+    (id, prize>=0); nodes absent from it get prize 0.
+
+    Reference: pricesteiner/PCSTFast.java:40 (Goemans-Williamson growth +
+    StrongPruning.java:63 leaf-peeling DP). The GW moat-growth phase is a
+    sequential event queue that does not distribute; the Spark-first
+    substitution is the Boruvka minimum spanning forest as the candidate
+    tree, followed by the REFERENCE'S OWN strong-pruning DP re-expressed as
+    synchronized leaf-peeling rounds:
+
+      peel every degree-1 node l with remaining neighbor p and edge cost w:
+        dp[l] = prize[l] + accumulated child gains
+        if w < dp[l]: parent[l]=p, dp[p] += dp[l]-w   (profitable subtree)
+        else:         parent[l]=ROOT                   (severed)
+      best solution = subtree rooted at argmax dp at peel time.
+
+    Each round peels ALL current leaves (one groupBy + one anti-join), so
+    rounds = O(tree radius) — logarithmic on bushy link graphs; `max_rounds`
+    caps pathological path-shaped trees. Severing and dp bookkeeping match
+    StrongPruning.java exactly; only the candidate tree differs (MST vs GW),
+    which keeps the 'drop terminals whose connection costs more than their
+    prize' semantics while staying shuffle-parallel.
+    """
+    cfg = config or PrizeSteinerConfig()
+    ROOT = F.lit(-1).cast("long")
+    pz = prizes.select("id", F.col("prize").cast("double"))
+    state = truncate(
+        graph.nodes.select("id").join(pz, "id", "left")
+        .select("id", F.coalesce("prize", F.lit(0.0)).alias("dp")),
+        "pcst_state",
+    )
+    edges = truncate(spanning_tree(graph), "pcst_edges") \
+        .select(SRC, DST, W)
+    peeled: DataFrame | None = None
+    spark = graph.nodes.sparkSession
+
+    for _ in range(cfg.max_rounds):
+        if state.isEmpty():
+            break
+        # adjacency of the REMAINING tree (both directions), with degree
+        adj = edges.select(F.col(SRC).alias("id"), F.col(DST).alias("nbr"), W) \
+            .unionByName(edges.select(F.col(DST).alias("id"),
+                                      F.col(SRC).alias("nbr"), W))
+        deg = adj.groupBy("id").agg(F.count("*").alias("_deg"))
+        leaves = (
+            state.join(deg, "id", "left")
+            .withColumn("_deg", F.coalesce("_deg", F.lit(0)))
+        )
+        # degree-0 survivors (component's last node / isolated) become roots
+        iso = leaves.filter(F.col("_deg") == 0) \
+            .select("id", ROOT.alias("parent"),
+                    F.lit(None).cast("double").alias("cost"), "dp")
+        # degree-1 peel set; a leaf-leaf edge peels only its lesser endpoint
+        # (the reference's sequential queue processes one first)
+        l1 = leaves.filter(F.col("_deg") == 1) \
+            .join(adj, "id").select("id", "nbr", W, "dp")
+        both = l1.alias("a").join(
+            l1.select(F.col("id").alias("nbr"), F.col("nbr").alias("id")).alias("b"),
+            ["id", "nbr"], "left_semi")  # leaf whose nbr is also a leaf
+        l1 = l1.join(both.filter(F.col("id") > F.col("nbr")).select("id"),
+                     "id", "left_anti")
+        if l1.isEmpty() and iso.isEmpty():
+            break
+        attach = F.col(W) < F.col("dp")
+        rows = l1.select(
+            "id",
+            F.when(attach, F.col("nbr")).otherwise(ROOT).alias("parent"),
+            F.when(attach, F.col(W)).otherwise(F.lit(None).cast("double"))
+            .alias("cost"),
+            "dp",
+        ).unionByName(iso)
+        rows = truncate(rows, "pcst_rows")
+        peeled = rows if peeled is None else truncate(
+            peeled.unionByName(rows), "pcst_peeled")
+        gains = rows.filter(F.col("parent") >= 0) \
+            .groupBy(F.col("parent").alias("id")) \
+            .agg(F.sum(F.col("dp") - F.col("cost")).alias("_gain"))
+        state = truncate(
+            state.join(rows.select("id"), "id", "left_anti")
+            .join(gains, "id", "left")
+            .select("id", (F.col("dp") + F.coalesce("_gain", F.lit(0.0)))
+                    .alias("dp")),
+            "pcst_state",
+        )
+        edges = truncate(
+            edges.join(rows.select(F.col("id").alias(SRC)), SRC, "left_anti")
+            .join(rows.select(F.col("id").alias(DST)), DST, "left_anti"),
+            "pcst_edges",
+        )
+
+    if peeled is None:
+        return spark.createDataFrame([], "id long, parent long, cost double")
+    peeled = truncate(peeled, "pcst_final")
+    # best subtree = argmax dp at peel time (tie: min id, deterministic)
+    best = peeled.orderBy(F.desc("dp"), F.asc("id")).limit(1) \
+        .select(F.col("id").alias("_root")).collect()
+    if not best or peeled.filter(F.col("dp") > 0).isEmpty():
+        return spark.createDataFrame([], "id long, parent long, cost double")
+    root_id = best[0]["_root"]
+    links = peeled.filter(F.col("parent") >= 0).select("id", "parent", "cost")
+    kept = spark.createDataFrame([(int(root_id),)], "id long")
+    for _ in range(cfg.max_rounds):
+        grown = truncate(
+            kept.unionByName(
+                links.join(kept.withColumnRenamed("id", "parent"), "parent")
+                .select("id")).distinct(),
+            "pcst_kept",
+        )
+        if grown.count() == kept.count():
+            kept = grown
+            break
+        kept = grown
+    return (
+        peeled.join(kept, "id", "left_semi")
+        .select("id",
+                F.when(F.col("id") == root_id, ROOT).otherwise(F.col("parent"))
+                .alias("parent"),
+                F.when(F.col("id") == root_id,
+                       F.lit(None).cast("double")).otherwise(F.col("cost"))
+                .alias("cost"))
+    )
+
+
 def steiner_tree(graph: SparkGraph, source: int, targets: list[int],
                  config: SpanningTreeConfig | None = None) -> DataFrame:
     """(src, dst, weight): approximate Steiner tree connecting `source` to
