@@ -909,6 +909,134 @@ WHERE w.cur = 0
 ORDER BY w.target"""
 
 
+def q_astar_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A* (paths/astar/AStar.java:36) from node 0 to the farthest-id
+    reachable node, with a REAL admissible heuristic: h(v) = hop-count of
+    v->target (reverse BFS) x the minimum edge weight (1) — a lower bound on
+    remaining cost, so A* stays exact and the Dijkstra oracle applies."""
+    from neo4j_graph_data_science_spark.catalog import SparkGraph
+    from neo4j_graph_data_science_spark.operators.paths import (
+        astar, bfs, shortest_paths,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    weighted = g.edges.withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(5)))
+        .cast("double"),
+    )
+    gw = SparkGraph(nodes=g.nodes, edges=weighted)
+    reach = shortest_paths(gw, [0])
+    target = reach.filter(F.col("id") != 0).agg(F.max("id")).collect()[0][0]
+    rev = SparkGraph(
+        nodes=g.nodes,
+        edges=weighted.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                              "rel_type", "weight"))
+    h = bfs(rev, [int(target)]).select("id", F.col("dist").cast("double").alias("h"))
+    res = astar(gw, 0, int(target), h)
+    return res.select(
+        "target",
+        F.round("total_cost", 6).alias("total_cost"),
+        F.array_join(F.col("node_ids").cast("array<string>"), "->").alias("path"),
+    )
+
+
+def _astar_sql() -> str:
+    """Oracle: the Dijkstra pred-chain SQL restricted to the max reachable
+    node id (A* with an admissible heuristic is exact)."""
+    return _dijkstra_sql().replace(
+        "WHERE w.cur = 0\nORDER BY w.target",
+        "WHERE w.cur = 0 AND w.target = (SELECT MAX(id) FROM dist WHERE id <> 0)\n"
+        "ORDER BY w.target",
+    )
+
+
+def q_yens_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yen's K=3 shortest loopless paths (paths/yens/Yens.java:39) to a
+    near target (min id at BFS depth 3 keeps spur Dijkstras shallow);
+    rows-only: K-shortest enumeration is not tractably SQL-expressible."""
+    from neo4j_graph_data_science_spark.catalog import SparkGraph
+    from neo4j_graph_data_science_spark.operators.paths import bfs, yens
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    weighted = g.edges.withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(5)))
+        .cast("double"),
+    )
+    gw = SparkGraph(nodes=g.nodes, edges=weighted)
+    hops = bfs(gw, [0])
+    # deterministic target with REAL path diversity: the event graph is a
+    # DAG, so 5 rounds of path-count propagation give the exact number of
+    # simple 0->v paths of length <=5; pick the argmax (tie -> min id)
+    ed = weighted.select("src", "dst").distinct()
+    cur = hops.filter(F.col("id") == 0).select("id", F.lit(1).alias("cnt"))
+    total = None
+    for _ in range(5):
+        cur = (ed.join(cur.withColumnRenamed("id", "src"), "src")
+               .groupBy(F.col("dst").alias("id")).agg(F.sum("cnt").alias("cnt")))
+        total = cur if total is None else (
+            total.unionByName(cur).groupBy("id").agg(F.sum("cnt").alias("cnt")))
+    cand = (total.filter(F.col("id") != 0)
+            .orderBy(F.desc("cnt"), F.asc("id")).limit(1).collect())
+    target = int(cand[0]["id"]) if cand else int(
+        hops.filter(F.col("id") != 0).agg(F.max("id")).collect()[0][0])
+    res = yens(gw, 0, target, k=3)
+    return res.select(
+        "index", "target",
+        F.round("total_cost", 6).alias("total_cost"),
+        F.array_join(F.col("node_ids").cast("array<string>"), "->").alias("path"),
+    )
+
+
+def q_bellman_ford_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman-Ford (paths/bellmanford/BellmanFord.java:49) with NEGATIVE
+    edge weights w = (src*7 + dst*13) % 5 - 2 on the acyclic event graph
+    (NEXT/TYPE/GROUP edges always advance (user_id, rn), so no cycles and
+    negative-weight distances are well-defined)."""
+    from neo4j_graph_data_science_spark.operators.paths import bellman_ford
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    weighted = g.edges.withColumn(
+        "weight",
+        (F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(5)) - F.lit(2))
+        .cast("double"),
+    )
+    gw = SparkGraph(nodes=g.nodes, edges=weighted)
+    res = bellman_ford(gw, 0)
+    return res.filter(~F.isnan("dist") & (F.col("dist") < 1e17)) \
+        .select("id", F.round("dist", 6).alias("dist"), "in_negative_cycle")
+
+
+def _bellman_ford_neg_sql(levels: int = 40) -> str:
+    """Oracle: unrolled Bellman-Ford fixpoint with the negative weight
+    family; the graph is a DAG so the fixpoint is reached within depth
+    rounds and no node is tainted."""
+    inf = "1e18"
+    ctes = [f"""ew AS MATERIALIZED (
+  SELECT src, dst, MIN((src * 7 + dst * 13) % 5 - 2)::DOUBLE AS w
+  FROM raw_edges GROUP BY src, dst
+)""", f"""d0 AS (
+  SELECT id, CASE WHEN id = 0 THEN 0.0 ELSE {inf} END AS dist FROM nodes
+)"""]
+    prev = "d0"
+    for i in range(1, levels + 1):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+  SELECT n.id, LEAST(n.dist, COALESCE(m.cand, {inf})) AS dist
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS id, MIN(u.dist + e.w) AS cand
+    FROM ew e JOIN {prev} u ON e.src = u.id WHERE u.dist < {inf}
+    GROUP BY e.dst
+  ) m ON n.id = m.id
+)""")
+        prev = f"d{i}"
+    return f"""WITH {_SCC_SUB},
+{_ev_ctes("events_sub")},
+{', '.join(ctes)}
+SELECT id, ROUND(dist, 6) AS dist, FALSE AS in_negative_cycle
+FROM {prev} WHERE dist < {inf} ORDER BY id"""
+
+
 def q_clique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node 3- and 4-clique counts on the 120-bucket contracted part
     co-occurrence graph (same graph as the betweenness query)."""
@@ -1321,6 +1449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_consecutive_events": q_wcc_consecutive,
         "betweenness_parts_mod": q_betweenness,
         "dijkstra_paths_events_sub": q_dijkstra_paths,
+        "astar_paths_events_sub": q_astar_paths,
+        "yens_paths_events_sub": q_yens_paths,
+        "bellman_ford_neg_events_sub": q_bellman_ford_neg,
         "dag_longest_events_sub": q_dag_longest,
         "clique_counts_parts_mod": q_clique_counts,
         # rows-only (non-SQL-expressible or Spark-dialect hashes)
@@ -1742,6 +1873,8 @@ SELECT 'pagerank' AS algorithm,
         + (SELECT count(*) FROM raw_edges) * 24))::BIGINT AS bytesMax""",
         "betweenness_parts_mod": _betweenness_sql(),
         "dijkstra_paths_events_sub": _dijkstra_sql(),
+        "astar_paths_events_sub": _astar_sql(),
+        "bellman_ford_neg_events_sub": _bellman_ford_neg_sql(),
         "dag_longest_events_sub": _dag_longest_sql(),
         "clique_counts_parts_mod": _CLIQUE_SQL,
         "harmonic_events_sub": f"""WITH RECURSIVE {_SCC_SUB},
