@@ -61,7 +61,11 @@ def main() -> None:
     t0 = time.time()
     # run to actual 1e-6 convergence (north-star metric is convergence-
     # gated; round 1 mislabeled an iteration-capped run)
-    res = page_rank(g, PageRankConfig(max_iterations=100, tolerance=1e-6))
+    # check_every=3 batches 3 supersteps per Spark job (plans/pregel.py):
+    # fixed per-job costs dominate at this scale; results stay within the
+    # 1e-6 tolerance (convergence detection delayed <3 supersteps)
+    res = page_rank(g, PageRankConfig(max_iterations=100, tolerance=1e-6,
+                                      check_every=3))
     res.state.count()
     pr_wall = time.time() - t0
     timings["pagerank_events"] = round(pr_wall, 3)
@@ -72,6 +76,9 @@ def main() -> None:
     extras["pagerank_converged"] = res.converged
 
     timed("wcc_events", lambda: wcc(g, WccConfig()).state.count())
+    # NOTE: batching (check_every=5) measured SLOWER here (20 s vs 9 s):
+    # LPA's superstep is two shuffles + a window, so a 5-deep lazy chain
+    # trades 5 small jobs for one massive-plan job and loses
     timed("lpa_events", lambda: label_propagation(
         g, LabelPropagationConfig(max_iterations=5)).state.count())
 

@@ -48,6 +48,7 @@ class LabelPropagationConfig:
     checkpoint_dir: str | None = None
     run_id: str = "lpa"
     partitions: int | None = None
+    check_every: int = 1
 
 
 def label_propagation(
@@ -110,7 +111,8 @@ def label_propagation(
     res = run_pregel(
         state0, superstep, lambda o, n, i: False,
         PregelConfig(cfg.max_iterations, 0.0, cfg.partitions,
-                     cfg.checkpoint_dir, 1, cfg.run_id),
+                     cfg.checkpoint_dir, 1, cfg.run_id,
+                     check_every=cfg.check_every),
         stats=[F.max(F.col("changed").cast("int"))],
         converged_stats=lambda row, it: not row[1],
     )

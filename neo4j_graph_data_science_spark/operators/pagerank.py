@@ -56,6 +56,9 @@ class PageRankConfig:
     checkpoint_dir: str | None = None
     run_id: str = "pagerank"
     partitions: int | None = None
+    # supersteps per materialization/convergence check (plans/pregel.py
+    # PregelConfig.check_every): >1 batches supersteps into one Spark job
+    check_every: int = 1
 
 
 def _out_degrees(edges: DataFrame) -> DataFrame:
@@ -142,6 +145,7 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
             checkpoint_dir=cfg.checkpoint_dir,
             run_id=cfg.run_id,
             partitions=cfg.partitions,
+            check_every=cfg.check_every,
         ),
         stats=[F.max("delta")],
         converged_stats=converged_stats,

@@ -44,6 +44,7 @@ class WccConfig:
     run_id: str = "wcc"
     partitions: int | None = None
     consecutive_ids: bool = False
+    check_every: int = 1
     # pointer jumping (comp <- comp(comp)) after each neighbor-min step:
     # turns O(diameter) rounds into ~O(log diameter). Transcript NEXT-chains
     # have diameter ~ conversation length, so this is the difference between
@@ -102,7 +103,8 @@ def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
     res = run_pregel(
         state0, superstep, lambda o, n, i: False,
         PregelConfig(cfg.max_iterations, 0.0, cfg.partitions,
-                     cfg.checkpoint_dir, 1, cfg.run_id),
+                     cfg.checkpoint_dir, 1, cfg.run_id,
+                     check_every=cfg.check_every),
         stats=[F.max(F.col("changed").cast("int"))],
         converged_stats=lambda row, it: not row[1],
     )

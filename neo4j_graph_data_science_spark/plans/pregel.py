@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import DST, SRC, W
-from .checkpoint import CheckpointManager
+from .checkpoint import CheckpointManager, truncate
 
 Reducers: dict[str, Callable[[Column], Column]] = {
     # Reducer.java:34-86 -- Sum (identity 0), Min, Max, Count
@@ -65,6 +65,22 @@ class PregelConfig:
     # state twice, e.g. WCC pointer jumping, grow 2^k-fold) and Catalyst
     # analysis time blows up
     truncate_every: int = 2
+    # supersteps per materialization + convergence check. 1 = classic BSP
+    # (one action per superstep). k>1 chains k supersteps LAZILY and runs
+    # them as ONE Spark job per boundary -- on overhead-bound graphs (small
+    # state, many iterations) the per-superstep fixed cost (job scheduling,
+    # AQE replan, stats action) dominates wall time, and batching divides it
+    # by k. Convergence detection is delayed by at most k-1 supersteps
+    # (results are the same or MORE converged); fixed-iteration runs are
+    # bit-identical. Boundaries materialize via the stats-safe parquet
+    # round-trip (plans/checkpoint.truncate), because a k-deep chain whose
+    # supersteps reference the state twice compounds localCheckpoint's
+    # estimated sizeInBytes 2^k-fold per boundary. Keep k SMALL: the
+    # unresolved plan itself also grows 2^k-fold (state is referenced twice
+    # per superstep), so Catalyst analysis eats the win back. Measured on
+    # the 192k-edge event graph, 55 supersteps, local[32]: k=1 70-120 s,
+    # k=3 46 s, k=6 63 s, k=9 207 s -> 3 is the sweet spot.
+    check_every: int = 1
 
 
 @dataclass
@@ -129,8 +145,15 @@ def run_pregel(
     did_converge = False
     while it < config.max_iterations:
         t0 = time.time()
-        new_state = superstep(state, it)
-        if config.truncate_every and (it + 1) % config.truncate_every == 0:
+        batch = min(max(config.check_every, 1), config.max_iterations - it)
+        new_state = state
+        for b in range(batch):
+            new_state = superstep(new_state, it + b)
+        if batch > 1:
+            # stats-safe boundary: the k-deep chain runs as one job; the
+            # parquet round-trip resets Catalyst's compounded size estimate
+            new_state = truncate(new_state, "pregel_state").persist()
+        elif config.truncate_every and (it + 1) % config.truncate_every == 0:
             # eager localCheckpoint: materializes AND cuts the logical plan
             new_state = new_state.localCheckpoint(eager=True)
         else:
@@ -138,18 +161,18 @@ def run_pregel(
         if stats is not None and converged_stats is not None:
             row = new_state.agg(F.count(F.lit(1)), *stats).collect()[0]
             n = row[0]
-            done = converged_stats(tuple(row), it)
+            done = converged_stats(tuple(row), it + batch - 1)
             wall = time.time() - t0
-            it += 1
+            it += batch
         else:
             n = new_state.count()  # materialize; one Spark job per superstep
             wall = time.time() - t0
-            done = converged(state, new_state, it)
-            it += 1
+            done = converged(state, new_state, it + batch - 1)
+            it += batch
         if config.track_metrics:
             metrics.append(
                 {"iteration": it, "vertices": n, "wall_s": round(wall, 4),
-                 "converged": done}
+                 "supersteps": batch, "converged": done}
             )
         if ckpt and (it % config.checkpoint_every == 0 or done or it >= config.max_iterations):
             new_state = ckpt.save(new_state, it, metrics[-1] if metrics else {})

@@ -146,3 +146,19 @@ def test_article_rank_and_eigenvector_shapes(spark):
     # eigenvector is L2-normalized
     norm = ev.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).collect()[0][0]
     assert abs(norm - 1.0) < 1e-6
+
+
+def test_pagerank_check_every_batching_parity(spark):
+    """check_every>1 chains supersteps into one job per boundary; a
+    fixed-iteration run must be numerically identical to the classic
+    one-action-per-superstep loop."""
+    from pyspark.sql import functions as F
+
+    g = from_edge_list(spark, WIKI_EDGES, n_nodes=11)
+    r1 = page_rank(g, PageRankConfig(max_iterations=12, tolerance=0.0))
+    r4 = page_rank(g, PageRankConfig(max_iterations=12, tolerance=0.0,
+                                     check_every=4))
+    assert r1.iterations == r4.iterations == 12
+    diff = (r1.state.join(r4.state.withColumnRenamed("score", "s4"), "id")
+            .agg(F.max(F.abs(F.col("score") - F.col("s4")))).collect()[0][0])
+    assert diff < 1e-12
