@@ -29,7 +29,8 @@ from .session import get_spark
 from .sources.transcripts import derive_edges, transcript_id_map
 
 ALGOS = ("pagerank", "wcc", "scc", "labelprop", "triangles", "betweenness",
-         "louvain", "leiden", "degree", "hits", "fastrp", "node2vec")
+         "louvain", "leiden", "degree", "hits", "fastrp", "node2vec",
+         "kcore", "closeness", "harmonic", "nodesim")
 
 
 def load_transcripts(spark: SparkSession, path: str, fmt: str):
@@ -125,11 +126,36 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algorithm == "fastrp":
         from .operators.embeddings import FastRPConfig, fast_rp
         out = fast_rp(g, FastRPConfig(partitions=args.partitions))
+    elif args.algorithm == "kcore":
+        from .operators.community import KCoreConfig, k_core
+        out = k_core(g, KCoreConfig())
+    elif args.algorithm == "closeness":
+        from .operators.centrality import ClosenessConfig, closeness_centrality
+        out = closeness_centrality(g, ClosenessConfig())
+    elif args.algorithm == "harmonic":
+        from .operators.centrality import ClosenessConfig, harmonic_centrality
+        out = harmonic_centrality(g, ClosenessConfig())
+    elif args.algorithm == "nodesim":
+        from .operators.similarity import NodeSimilarityConfig, node_similarity
+        out = node_similarity(g.edges.select("src", "dst").distinct(),
+                              "src", "dst", NodeSimilarityConfig())
     else:
         from .operators.embeddings import Node2VecConfig, node2vec
         out = node2vec(g, Node2VecConfig())
 
-    result = g.to_original_ids(out)
+    if args.algorithm == "nodesim" and g.id_map is not None:
+        # pair-shaped result: map BOTH endpoints back to original keys,
+        # prefixing the key columns so the two joins don't collide
+        from pyspark.sql import functions as F
+        for c in ("node1", "node2"):
+            m = g.id_map.select(
+                F.col("id").alias(c),
+                *[F.col(k).alias(f"{c}_{k}")
+                  for k in g.id_map.columns if k != "id"])
+            out = out.join(m, c)
+        result = out
+    else:
+        result = g.to_original_ids(out)
     if args.output_iceberg:
         result.writeTo(args.output).createOrReplace()
     elif args.output_format == "csv":

@@ -36,7 +36,9 @@ n_edges = edges.count()
 # warmup: one full run at 3 supersteps to JIT/plan-cache
 page_rank(g, PageRankConfig(max_iterations=3, tolerance=0.0)).state.count()
 t0 = time.time()
-res = page_rank(g, PageRankConfig(max_iterations=9, tolerance=0.0))
+# check_every=3 = the bench.py production config (superstep batching)
+res = page_rank(g, PageRankConfig(max_iterations=9, tolerance=0.0,
+                                  check_every=3))
 res.state.count()
 wall = time.time() - t0
 supersteps = res.iterations
