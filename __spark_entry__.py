@@ -1379,6 +1379,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-mode simhash (60-bit): byte-identical across engines, so the
+    fingerprints themselves are DuckDB-verifiable (the default xxhash64
+    path stays rows-only -- Spark-dialect hash)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs, hash_mode="md5")
+
+
 def q_transcript_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = transcript_graph(spark, n_convs=60, seed=42, max_turns=30)
     res = page_rank(g, PageRankConfig(max_iterations=15, tolerance=1e-7))
@@ -1390,6 +1398,196 @@ def q_transcript_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _scc_subgraph(spark, sf_dir, include_loop=False)
     return triangle_stream(g).select("node_a", "node_b", "node_c")
+
+
+# ---- oracle builders for formerly rows-only subgraph queries --------------
+
+_SUB_UND = f"""{_SCC_SUB},
+{_ev_ctes("events_sub")},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges WHERE src <> dst
+),
+bi AS MATERIALIZED (
+  SELECT a AS s, b AS t FROM und UNION ALL SELECT b AS s, a AS t FROM und
+)"""
+
+
+def _triangle_stream_sql() -> str:
+    return f"""WITH RECURSIVE {_SUB_UND}
+SELECT e1.a AS node_a, e1.b AS node_b, e2.b AS node_c
+FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+ORDER BY node_a, node_b, node_c"""
+
+
+def _kcore_sql(rounds: int = 16) -> str:
+    """Coreness via the same h-index fixpoint the Spark operator runs
+    (Montresor et al.), unrolled: c0 = degree; c_{{t+1}}(v) = min(c_t(v),
+    H(c_t(u) : u in N(v))), H = max over desc-sorted neighbors of
+    min(value, position)."""
+    parts = ["c0 AS MATERIALIZED (SELECT s AS id, count(*) AS core FROM bi GROUP BY s)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""h{i} AS (
+  SELECT s AS id, max(least(v, rn)) AS h FROM (
+    SELECT bi.s, c.core AS v,
+           row_number() OVER (PARTITION BY bi.s ORDER BY c.core DESC) AS rn
+    FROM bi JOIN c{p} c ON bi.t = c.id
+  ) GROUP BY s
+),
+c{i} AS MATERIALIZED (
+  SELECT c.id, least(c.core, coalesce(h.h, c.core)) AS core
+  FROM c{p} c LEFT JOIN h{i} h ON c.id = h.id
+)""")
+    return f"""WITH RECURSIVE {_SUB_UND},
+{",".join(parts)}
+SELECT n.id, coalesce(c.core, 0)::BIGINT AS core
+FROM nodes n LEFT JOIN c{rounds} c ON n.id = c.id ORDER BY n.id"""
+
+
+def _articulation_sql() -> str:
+    """Brute-force articulation points: v is an articulation point iff some
+    neighbor of v cannot reach v's smallest neighbor in G \\ {{v}} (all of
+    v's neighbors share v's component, so reachability from one seed
+    neighbor decides). One recursive closure of (excluded, reached) pairs
+    -- O(V^2) states, not O(V^3)."""
+    return f"""WITH RECURSIVE {_SUB_UND},
+seed AS (SELECT s AS x, min(t) AS u0 FROM bi GROUP BY s),
+reachx(x, id) AS (
+  SELECT x, u0 FROM seed
+  UNION
+  SELECT r.x, bi.t FROM reachx r JOIN bi ON r.id = bi.s WHERE bi.t <> r.x
+)
+SELECT DISTINCT b.s AS id FROM bi b
+LEFT JOIN reachx r ON r.x = b.s AND r.id = b.t
+WHERE r.id IS NULL ORDER BY id"""
+
+
+def _bridges_sql() -> str:
+    """Brute-force bridges: canonical edge (a,b) is a bridge iff b is
+    unreachable from a once that single undirected edge is excluded."""
+    return f"""WITH RECURSIVE {_SUB_UND},
+reache(a, b, id) AS (
+  SELECT a, b, a FROM und
+  UNION
+  SELECT r.a, r.b, bi.t FROM reache r JOIN bi ON r.id = bi.s
+  WHERE NOT (least(bi.s, bi.t) = r.a AND greatest(bi.s, bi.t) = r.b)
+)
+SELECT u.a AS src, u.b AS dst FROM und u
+LEFT JOIN reache r ON r.a = u.a AND r.b = u.b AND r.id = u.b
+WHERE r.id IS NULL ORDER BY src, dst"""
+
+
+def _spanning_tree_sql() -> str:
+    """MST via the cycle property: under the total edge order (w, src, dst)
+    the minimum spanning forest is unique, and an edge e = (a,b) belongs to
+    it iff b is NOT reachable from a using only edges strictly smaller than
+    e. The Spark operator's Boruvka picks with the same total-order
+    tie-break produce exactly this forest (operators/spanningtree.py).
+    Weights mirror q_spanning_tree: w = 1 + (src*11 + dst*17) % 7, and all
+    derived event edges already satisfy src < dst so the canonical
+    undirected edge keeps the same (a, b) weight."""
+    return f"""WITH RECURSIVE {_SUB_UND},
+wund AS MATERIALIZED (
+  SELECT a, b, (1 + (a * 11 + b * 17) % 7)::DOUBLE AS w,
+         row_number() OVER (ORDER BY (1 + (a * 11 + b * 17) % 7), a, b) AS rk
+  FROM und
+),
+bi2 AS MATERIALIZED (
+  SELECT a AS s, b AS t, rk FROM wund UNION ALL SELECT b AS s, a AS t, rk FROM wund
+),
+reachs(rk, b, id) AS (
+  SELECT rk, b, a FROM wund
+  UNION
+  SELECT r.rk, r.b, e.t FROM reachs r JOIN bi2 e ON r.id = e.s AND e.rk < r.rk
+)
+SELECT w.a AS src, w.b AS dst, round(w.w, 6) AS weight FROM wund w
+LEFT JOIN reachs r ON r.rk = w.rk AND r.id = w.b
+WHERE r.id IS NULL ORDER BY src, dst"""
+
+
+def _k1coloring_sql(rounds: int = 12) -> str:
+    """Greedy conflict-resolution coloring, unrolled (operators/community.py
+    k1_coloring parity): all nodes start color 0; each round, every node
+    with a same-colored LOWER-id neighbor simultaneously moves to the mex
+    of its neighbor colors. Deterministic synchronous updates, so a fixed
+    unroll >= the convergence round count reproduces the exact coloring."""
+    parts = [
+        "degt AS (SELECT s AS id, count(*) AS deg FROM bi GROUP BY s)",
+        "c0 AS MATERIALIZED (SELECT id, 0::BIGINT AS color FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""conf{i} AS (
+  SELECT DISTINCT bi.s AS id FROM bi
+  JOIN c{p} a ON bi.s = a.id JOIN c{p} b ON bi.t = b.id
+  WHERE a.color = b.color AND bi.s > bi.t
+),
+cand{i} AS (
+  SELECT cf.id, unnest(generate_series(0, d.deg)) AS k
+  FROM conf{i} cf JOIN degt d ON cf.id = d.id
+),
+taken{i} AS (
+  SELECT DISTINCT bi.s AS id, c.color FROM bi
+  JOIN c{p} c ON bi.t = c.id JOIN conf{i} cf ON bi.s = cf.id
+),
+mex{i} AS (
+  SELECT cand.id, min(cand.k)::BIGINT AS newc
+  FROM cand{i} cand LEFT JOIN taken{i} t ON cand.id = t.id AND cand.k = t.color
+  WHERE t.id IS NULL GROUP BY cand.id
+),
+c{i} AS MATERIALIZED (
+  SELECT c.id, coalesce(m.newc, c.color) AS color
+  FROM c{p} c LEFT JOIN mex{i} m ON c.id = m.id
+)""")
+    return f"""WITH RECURSIVE {_SUB_UND},
+{",".join(parts)}
+SELECT id, color FROM c{rounds} ORDER BY id"""
+
+
+def _indirect_exposure_sql(rounds: int = 40) -> str:
+    """BFS-layered exposure propagation (IndirectExposureComputation.java
+    semantics, operators/exposure.py parity): per layer each unvisited node
+    takes the max incoming exposure*weight (ties -> smallest sender),
+    divides by its weighted degree, then becomes a sender once."""
+    parts = [
+        """ew AS MATERIALIZED (
+  SELECT s, t, sum(w) AS w FROM (
+    SELECT src AS s, dst AS t, 1.0::DOUBLE AS w FROM raw_edges
+    UNION ALL SELECT dst AS s, src AS t, 1.0::DOUBLE AS w FROM raw_edges
+  ) GROUP BY s, t
+)""",
+        "wd AS (SELECT s AS id, sum(w) AS wd FROM ew GROUP BY s)",
+        """f0 AS MATERIALIZED (
+  SELECT id, 1.0::DOUBLE AS exposure, 0::BIGINT AS hop, id AS parent, id AS root
+  FROM nodes WHERE id IN (0, 1, 2)
+)""",
+        "vis0 AS MATERIALIZED (SELECT * FROM f0)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""m{i} AS (
+  SELECT id, val, sender, rt FROM (
+    SELECT e.t AS id, f.exposure * e.w AS val, e.s AS sender, f.root AS rt,
+           row_number() OVER (PARTITION BY e.t
+                              ORDER BY f.exposure * e.w DESC, e.s ASC) AS rn
+    FROM f{p} f JOIN ew e ON f.id = e.s
+  ) WHERE rn = 1
+),
+f{i} AS MATERIALIZED (
+  SELECT m.id, m.val / (CASE WHEN wd.wd > 0 THEN wd.wd ELSE 1.0 END) AS exposure,
+         {i}::BIGINT AS hop, m.sender AS parent, m.rt AS root
+  FROM m{i} m LEFT JOIN wd ON m.id = wd.id
+  WHERE m.id NOT IN (SELECT id FROM vis{p})
+),
+vis{i} AS MATERIALIZED (SELECT * FROM vis{p} UNION ALL SELECT * FROM f{i})""")
+    return f"""WITH RECURSIVE {_SUB_UND},
+{",".join(parts)}
+SELECT n.id, round(coalesce(v.exposure, 0.0), 6) AS exposure,
+       coalesce(v.hop, -1)::BIGINT AS hop,
+       coalesce(v.parent, -1)::BIGINT AS parent,
+       coalesce(v.root, -1)::BIGINT AS root
+FROM nodes n LEFT JOIN vis{rounds} v ON n.id = v.id ORDER BY n.id"""
 
 
 # --------------------------------------------------------------------------
@@ -1454,9 +1652,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bellman_ford_neg_events_sub": q_bellman_ford_neg,
         "dag_longest_events_sub": q_dag_longest,
         "clique_counts_parts_mod": q_clique_counts,
-        # rows-only (non-SQL-expressible or Spark-dialect hashes)
         "kcore_events_sub": q_kcore,
+        "articulation_events_sub": q_articulation,
+        "bridges_events_sub": q_bridges,
+        "indirect_exposure_events_sub": q_indirect_exposure,
+        "triangle_stream_events": q_triangle_stream,
         "k1coloring_events": q_k1coloring,
+        "spanning_tree_events_sub": q_spanning_tree,
+        # rows-only (non-SQL-expressible or Spark-dialect hashes)
         "louvain_events_sub": q_louvain,
         "leiden_events_sub": q_leiden,
         "kmeans_embeddings": q_kmeans,
@@ -1467,10 +1670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_events_sub": q_node2vec,
         "dfs_events_sub": q_dfs,
         "sllpa_events_sub": q_sllpa,
-        "spanning_tree_events_sub": q_spanning_tree,
-        "articulation_events_sub": q_articulation,
-        "bridges_events_sub": q_bridges,
-        "indirect_exposure_events_sub": q_indirect_exposure,
         "max_kcut_events_sub": q_max_kcut,
         "celf_events_sub": q_celf,
         "hashgnn_events_sub": q_hashgnn,
@@ -1484,10 +1683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_events_sub": q_random_walks,
         "ann_lsh_topk": q_ann_lsh,
         "simhash_docs": q_simhash,
+        "simhash_md5_docs": q_simhash_md5,
         "minhash_lsh_fast": q_minhash_lsh_fast,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "transcript_pagerank": q_transcript_pagerank,
-        "triangle_stream_events": q_triangle_stream,
     }
 
 
@@ -1872,6 +2071,24 @@ SELECT 'pagerank' AS algorithm,
        (2 * ((SELECT count(*) FROM nodes) * 24
         + (SELECT count(*) FROM raw_edges) * 24))::BIGINT AS bytesMax""",
         "betweenness_parts_mod": _betweenness_sql(),
+        "kcore_events_sub": _kcore_sql(),
+        "k1coloring_events": _k1coloring_sql(),
+        "spanning_tree_events_sub": _spanning_tree_sql(),
+        "simhash_md5_docs": r"""WITH toks AS (
+  SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS tok FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+bitrows AS (SELECT doc_id, unnest(generate_series(0, 59)) AS bit, h FROM h),
+votes AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bitrows GROUP BY doc_id, bit
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id""",
+        "articulation_events_sub": _articulation_sql(),
+        "bridges_events_sub": _bridges_sql(),
+        "indirect_exposure_events_sub": _indirect_exposure_sql(),
+        "triangle_stream_events": _triangle_stream_sql(),
         "dijkstra_paths_events_sub": _dijkstra_sql(),
         "astar_paths_events_sub": _astar_sql(),
         "bellman_ford_neg_events_sub": _bellman_ford_neg_sql(),

@@ -170,17 +170,27 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 
 def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash): bit-majority over xxhash64 of tokens.
+            text_col: str = "text", hash_mode: str = "xxhash64") -> DataFrame:
+    """(doc_id, simhash): bit-majority over a token hash.
 
-    Per token t and bit i: contribute +1 if bit i of xxhash64(t) set else -1;
+    Per token t and bit i: contribute +1 if bit i of hash(t) set else -1;
     fingerprint bit i = 1 iff the sum is positive. Explode is tokens x bits;
     the groupBy combines map-side so the shuffle is |docs| x bits rows.
+
+    hash_mode: "xxhash64" (default; int64 JVM hash, the fast/scale path) or
+    "md5" (first 15 hex chars of md5 -> 60-bit int; byte-identical in any
+    engine with a standard md5, which makes the result DuckDB-verifiable --
+    bits is capped at 60 in this mode).
     """
+    if hash_mode == "md5":
+        bits = min(bits, 60)
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     bitrows = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),

@@ -52,3 +52,11 @@ def test_checkpoint_metrics_lineage(spark, tmp_path):
     ms = cm.metrics()
     assert [m["iteration"] for m in ms] == [1, 2]
     assert all("wall_s" in m and "vertices" in m for m in ms)
+    # per-partition lineage: every committed snapshot records which
+    # partition held how many vertex rows, and they sum to the graph
+    for it in cm.committed_iterations():
+        lin = cm.lineage(it)
+        assert lin is not None and lin["iteration"] == it
+        assert sum(lin["partition_rows"].values()) == 6
+        assert lin["partitions"] == len(lin["partition_rows"])
+    assert all(m["partitions"] >= 1 for m in ms)

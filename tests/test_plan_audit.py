@@ -1,0 +1,85 @@
+"""Physical-plan audits: the properties that make the engine survive 100x.
+
+Each test pins a plan invariant that a regression would silently break
+long before a benchmark notices at test scale:
+
+  * no single-partition exchange (serial stage) in the event-graph
+    derivation — the round-1 dense-id bug was exactly this
+    (`WindowExec: No Partition Defined` → `Exchange SinglePartition`);
+  * predicate pushdown + column pruning reach the parquet scan;
+  * the Pregel message reduce does map-side partial aggregation
+    (the distributed ReducingMessenger combine) before the shuffle;
+  * the similarity/ANN broadcast side actually broadcasts.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from neo4j_graph_data_science_spark import from_edge_list
+from neo4j_graph_data_science_spark.plans.pregel import reduced_messages
+from neo4j_graph_data_science_spark.sources.tables import (
+    event_edges, event_vertices, load,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_event_graph_has_no_serial_stage(spark):
+    """Dense-id assignment and every edge rule must stay partition-parallel:
+    a single-partition exchange is a serial stage that caps any cluster at
+    one core (round-1 regression)."""
+    events = load(spark, SF_DIR, "events")
+    for df in (event_vertices(events), event_edges(events)):
+        plan = _plan(df)
+        assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    part = load(spark, SF_DIR, "part")
+    q = part.filter(F.col("p_size") > 40).select("p_partkey", "p_size")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,40)" in plan, plan
+    # column pruning: the scan schema carries only the two referenced columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "p_partkey" in read_schema and "p_size" in read_schema
+    assert "p_name" not in read_schema and "p_type" not in read_schema
+
+
+def test_pregel_reduce_is_map_side_combined(spark):
+    """ReducingMessenger semantics: messages to one dst collapse per map
+    partition (partial_sum) before the exchange, then merge after — a hub
+    vertex receives at most one pre-combined row per upstream partition."""
+    g = from_edge_list(spark, [(0, 1), (1, 2), (2, 0), (0, 2)], n_nodes=3)
+    state = g.nodes.withColumn("score", F.lit(1.0))
+    msgs = reduced_messages(g.edges, state, F.col("score"))
+    plan = _plan(msgs, mode="simple")
+    assert "partial_sum" in plan, plan
+    # the partial aggregate must sit BELOW the exchange, the final above
+    below, _, above = plan.partition("Exchange hashpartitioning(id")
+    assert "partial_sum" in above, plan     # map side (printed deeper)
+    assert "sum(" in below, plan            # reduce side
+
+
+def test_text_ops_stay_jvm_side(spark):
+    """textstats hot path is all-JVM Catalyst expressions over a columnar
+    batched parquet scan — no Python eval operator anywhere in the plan.
+    (The Project itself uses higher-order `aggregate` lambdas, which Spark
+    evaluates JVM-side but outside whole-stage codegen; the invariant that
+    matters at 100 TB is zero Python in the row loop.)"""
+    docs = load(spark, SF_DIR, "documents")
+    from neo4j_graph_data_science_spark.operators.textstats import token_stats
+
+    plan = _plan(token_stats(docs), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Batched: true" in plan, plan
