@@ -1506,6 +1506,45 @@ LEFT JOIN reachs r ON r.rk = w.rk AND r.id = w.b
 WHERE r.id IS NULL ORDER BY src, dst"""
 
 
+def _k_spanning_sql(k: int = 8) -> str:
+    """k-spanning-tree partition (operators/spanningtree.k_spanning_tree
+    parity): unique MST via the cycle property, drop the k-1 heaviest tree
+    edges under the (w, src, dst) total order, label each remaining tree
+    component by its minimum member id (the WCC union-by-min convention)."""
+    return f"""WITH RECURSIVE {_SUB_UND},
+wund AS MATERIALIZED (
+  SELECT a, b, (1 + (a * 11 + b * 17) % 7)::DOUBLE AS w,
+         row_number() OVER (ORDER BY (1 + (a * 11 + b * 17) % 7), a, b) AS rk
+  FROM und
+),
+bi2 AS MATERIALIZED (
+  SELECT a AS s, b AS t, rk FROM wund UNION ALL SELECT b AS s, a AS t, rk FROM wund
+),
+reachs(rk, b, id) AS (
+  SELECT rk, b, a FROM wund
+  UNION
+  SELECT r.rk, r.b, e.t FROM reachs r JOIN bi2 e ON r.id = e.s AND e.rk < r.rk
+),
+mst AS MATERIALIZED (
+  SELECT w.a, w.b, w.w FROM wund w
+  LEFT JOIN reachs r ON r.rk = w.rk AND r.id = w.b
+  WHERE r.id IS NULL
+),
+cnt AS (SELECT count(*) AS n FROM mst),
+keep AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (ORDER BY w, a, b) AS rnk FROM mst
+  ), cnt WHERE rnk <= greatest(n - {k - 1}, 0)
+),
+kb AS (SELECT a AS s, b AS t FROM keep UNION ALL SELECT b AS s, a AS t FROM keep),
+reachc(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT kb.t, reachc.r FROM reachc JOIN kb ON reachc.id = kb.s
+)
+SELECT id, min(r)::BIGINT AS community FROM reachc GROUP BY id ORDER BY id"""
+
+
 def _k1coloring_sql(rounds: int = 12) -> str:
     """Greedy conflict-resolution coloring, unrolled (operators/community.py
     k1_coloring parity): all nodes start color 0; each round, every node
@@ -1659,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stream_events": q_triangle_stream,
         "k1coloring_events": q_k1coloring,
         "spanning_tree_events_sub": q_spanning_tree,
+        "k_spanning_tree_events_sub": q_k_spanning,
         # rows-only (non-SQL-expressible or Spark-dialect hashes)
         "louvain_events_sub": q_louvain,
         "leiden_events_sub": q_leiden,
@@ -1675,7 +1715,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashgnn_events_sub": q_hashgnn,
         "cnarw_sample_events_sub": q_cnarw,
         "modularity_opt_events_sub": q_modularity_opt,
-        "k_spanning_tree_events_sub": q_k_spanning,
         "steiner_events_sub": q_steiner,
         "prize_steiner_events_sub": q_prize_steiner,
         "nn_descent_embeddings": q_nn_descent,
@@ -2074,6 +2113,7 @@ SELECT 'pagerank' AS algorithm,
         "kcore_events_sub": _kcore_sql(),
         "k1coloring_events": _k1coloring_sql(),
         "spanning_tree_events_sub": _spanning_tree_sql(),
+        "k_spanning_tree_events_sub": _k_spanning_sql(),
         "simhash_md5_docs": r"""WITH toks AS (
   SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS tok FROM documents
 ),
