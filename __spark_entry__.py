@@ -16,6 +16,9 @@ still verifying ~1e-6 agreement (the north-rule PageRank tolerance).
 
 from __future__ import annotations
 
+import functools
+import os
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1645,7 +1648,51 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Per-query watchdog: round 1's CORRECTNESS artifact was emptied because one
+# query (Louvain's since-fixed localCheckpoint stats recursion) hung the
+# driver's whole queries() sweep. Every contract callable is wrapped so the
+# heavy work (all iterative operators materialize internally) runs in a
+# worker thread bounded by SPARK_GRAFT_QUERY_TIMEOUT seconds; on expiry we
+# cancel in-flight Spark jobs and raise, so the sweep records ONE failure
+# and moves on instead of wedging forever.
+_QUERY_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "600"))
+
+
+def _guarded(fn: Callable[[SparkSession, str], DataFrame]):
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        box: dict[str, object] = {}
+
+        def run() -> None:
+            try:
+                box["df"] = fn(spark, sf_dir)
+            except BaseException as ex:  # noqa: BLE001 - re-raised below
+                box["ex"] = ex
+
+        t = threading.Thread(target=run, daemon=True, name=f"q:{fn.__name__}")
+        t.start()
+        t.join(_QUERY_TIMEOUT_S)
+        if t.is_alive():
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
+            raise TimeoutError(
+                f"{fn.__name__} exceeded the {_QUERY_TIMEOUT_S:.0f}s per-query "
+                "watchdog (SPARK_GRAFT_QUERY_TIMEOUT); in-flight jobs cancelled"
+            )
+        if "ex" in box:
+            raise box["ex"]  # type: ignore[misc]
+        return box["df"]  # type: ignore[return-value]
+
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _guarded(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_events": q_degree,
         "pagerank_events": q_pagerank,

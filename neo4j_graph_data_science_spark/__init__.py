@@ -6,6 +6,8 @@ superstep kernel where Spark's map-side-combined ``groupBy(dst)`` shuffle
 is the reducing messenger. See SURVEY.md for the reference mapping.
 """
 
+__version__ = "0.2.0"
+
 from .catalog import (
     Aggregation,
     GraphCatalog,
