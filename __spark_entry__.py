@@ -954,10 +954,10 @@ def _astar_sql() -> str:
     )
 
 
-def q_yens_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Yen's K=3 shortest loopless paths (paths/yens/Yens.java:39) to a
-    near target (min id at BFS depth 3 keeps spur Dijkstras shallow);
-    rows-only: K-shortest enumeration is not tractably SQL-expressible."""
+def _yens_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Yen's K=3 run (paths/yens/Yens.java:39) over the weighted DAG
+    subgraph, targeting the node with the most <=5-hop paths from 0 (real
+    path diversity, deterministic tie-break)."""
     from neo4j_graph_data_science_spark.catalog import SparkGraph
     from neo4j_graph_data_science_spark.operators.paths import bfs, yens
 
@@ -984,12 +984,70 @@ def q_yens_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("cnt"), F.asc("id")).limit(1).collect())
     target = int(cand[0]["id"]) if cand else int(
         hops.filter(F.col("id") != 0).agg(F.max("id")).collect()[0][0])
-    res = yens(gw, 0, target, k=3)
+    return yens(gw, 0, target, k=3)
+
+
+def q_yens_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yen's full path objects; rows-only: the node SEQUENCES are
+    tie-ambiguous between equal-cost paths (yens_costs_events_sub carries
+    the oracle-verified cost multiset)."""
+    res = _yens_result(spark, sf_dir)
     return res.select(
         "index", "target",
         F.round("total_cost", 6).alias("total_cost"),
         F.array_join(F.col("node_ids").cast("array<string>"), "->").alias("path"),
     )
+
+
+def q_yens_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yen's K=3 shortest loopless paths, COSTS only. Unlike the node
+    sequences, the multiset of the K smallest loopless path costs is
+    deterministic even under equal-cost ties, so this is DuckDB-verifiable
+    by exhaustive path enumeration: events_sub is a DAG (every edge
+    advances (user_id, rn)), so the recursive CTE terminates and every
+    enumerated path is loopless."""
+    res = _yens_result(spark, sf_dir)
+    return res.select("index", F.round("total_cost", 6).alias("total_cost"))
+
+
+def _yens_costs_sql() -> str:
+    """Oracle: replicate the target choice (5 unrolled rounds of path-count
+    propagation from node 0, argmax count then min id), enumerate ALL paths
+    0 -> target over the DISTINCT weighted edge set (DAG => finite,
+    loopless), take the 3 smallest costs."""
+    cnt_parts = [
+        "c1 AS (SELECT dst AS id, count(*)::BIGINT AS cnt FROM ewd WHERE src = 0 GROUP BY dst)"
+    ]
+    for i in range(2, 6):
+        cnt_parts.append(f"""c{i} AS (
+  SELECT e.dst AS id, sum(c.cnt)::BIGINT AS cnt
+  FROM ewd e JOIN c{i - 1} c ON e.src = c.id GROUP BY e.dst
+)""")
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+ewd AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_edges),
+ew AS MATERIALIZED (
+  SELECT src, dst, (1 + (src * 7 + dst * 13) % 5)::DOUBLE AS w FROM ewd
+),
+{",".join(cnt_parts)},
+tot AS (
+  SELECT id, sum(cnt) AS cnt FROM (
+    SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+    UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5
+  ) GROUP BY id
+),
+tgt AS (SELECT id FROM tot WHERE id <> 0 ORDER BY cnt DESC, id ASC LIMIT 1),
+paths(node, cost) AS (
+  SELECT 0::BIGINT AS node, 0.0::DOUBLE AS cost
+  UNION ALL
+  SELECT e.dst, p.cost + e.w FROM paths p JOIN ew e ON e.src = p.node
+),
+best AS (
+  SELECT p.cost FROM paths p JOIN tgt ON p.node = tgt.id ORDER BY p.cost LIMIT 3
+)
+SELECT row_number() OVER (ORDER BY cost) - 1 AS "index",
+       round(cost, 6) AS total_cost
+FROM best"""
 
 
 def q_bellman_ford_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,6 +1456,132 @@ def q_transcript_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRANSCRIPT_PR_ITERS = 15
+
+
+def q_transcript_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule pipeline end-to-end WITH a DuckDB oracle: a
+    transcript-shaped table (conv_id, turn_idx, role, text, tool, ts --
+    BASELINE.json input_hint) derived deterministically from the events
+    parquet (so the oracle can mirror the derivation in SQL), run through
+    the production NEXT/TOOL/ROLE edge induction
+    (sources/transcripts.derive_edges) + dense (conv_id, turn_idx) id map +
+    15 unrolled PageRank iterations. The output keeps the text column, so
+    the per-turn text-equality invariant under stable (conv_id, turn_idx)
+    ordering is value-checked by the gate alongside the scores."""
+    from pyspark.sql.window import Window
+
+    from neo4j_graph_data_science_spark.sources.transcripts import (
+        ROLES,
+        TOOLS,
+        derive_edges,
+        transcript_id_map,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    role = F.element_at(
+        F.array(*[F.lit(r) for r in ROLES]),
+        (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int"),
+    )
+    tool = F.when(
+        F.pmod(F.col("event_id"), F.lit(3)) == 0,
+        F.element_at(
+            F.array(*[F.lit(t) for t in TOOLS]),
+            (F.pmod(F.col("event_id"), F.lit(8)) + 1).cast("int"),
+        ),
+    ).otherwise(F.lit(None).cast("string"))
+    t = (
+        ev.select(
+            F.format_string("u%06d", F.col("user_id")).alias("conv_id"),
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            role.alias("role"),
+            tool.alias("tool"),
+            F.col("ts"),
+        )
+        .withColumn(
+            "text",
+            F.format_string(
+                "%s:%d:%s", F.col("conv_id"), F.col("turn_idx"), F.col("role")
+            ),
+        )
+    )
+    idm = transcript_id_map(t, dense=True)
+    edges = derive_edges(t, idm)
+    g = SparkGraph(nodes=idm.select("id"), edges=edges, id_map=idm)
+    res = page_rank(
+        g, PageRankConfig(max_iterations=TRANSCRIPT_PR_ITERS + 1, tolerance=0.0)
+    )
+    return (
+        res.state.join(idm, "id")
+        .join(t.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+        .select(
+            # +1e-6 before round(3): early-iteration ranks land on EXACT
+            # decimal halves (0.15 + 0.85*0.15 = 0.2775) where Spark and
+            # DuckDB round opposite ways from fp dust; the shift moves the
+            # cut to x.xxx499, which no structural rank value hits.
+            "conv_id", "turn_idx", "text",
+            F.round(F.col("score") + F.lit(1e-6), 3).alias("score")
+        )
+    )
+
+
+def _transcript_pr_sql(iters: int = TRANSCRIPT_PR_ITERS) -> str:
+    """Oracle: the full transcript pipeline in DuckDB -- same derived
+    transcript table, same dense id rule (row_number over (conv_id,
+    turn_idx)), same NEXT/TOOL/ROLE lead() windows, same unrolled
+    unnormalized PageRank recurrence as _pagerank_sql."""
+    roles = "['user','assistant','system','tool']"
+    tools = "['search','code','sql','browse','files','math','plot','shell']"
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        cur = f"r{i}"
+        steps.append(f"""{cur} AS MATERIALIZED (
+  SELECT n.id, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank
+  FROM tnodes n LEFT JOIN (
+    SELECT ew.dst AS id, sum({prev}.rank / ew.od * ew.w) AS s
+    FROM ew JOIN {prev} ON ew.src = {prev}.id GROUP BY ew.dst
+  ) m ON n.id = m.id
+)""")
+        prev = cur
+    return f"""WITH base AS MATERIALIZED (
+  SELECT printf('u%06d', user_id) AS conv_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         {roles}[(event_id % 4) + 1] AS role,
+         CASE WHEN event_id % 3 = 0 THEN {tools}[(event_id % 8) + 1] END AS tool
+  FROM events
+),
+tv AS MATERIALIZED (
+  SELECT conv_id, turn_idx, role, tool,
+         printf('%s:%d:%s', conv_id, turn_idx, role) AS text,
+         row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS id
+  FROM base
+),
+tnodes AS (SELECT id FROM tv),
+t_next AS (SELECT src, dst FROM (
+  SELECT id AS src, lead(id) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst FROM tv
+) WHERE dst IS NOT NULL),
+t_tool AS (SELECT src, dst FROM (
+  SELECT id AS src, lead(id) OVER (PARTITION BY conv_id, tool ORDER BY turn_idx) AS dst
+  FROM tv WHERE tool IS NOT NULL
+) WHERE dst IS NOT NULL),
+t_role AS (SELECT src, dst FROM (
+  SELECT id AS src, lead(id) OVER (PARTITION BY conv_id, role ORDER BY turn_idx) AS dst FROM tv
+) WHERE dst IS NOT NULL),
+t_raw AS MATERIALIZED (
+  SELECT * FROM t_next UNION ALL SELECT * FROM t_tool UNION ALL SELECT * FROM t_role
+),
+edges_agg AS (SELECT src, dst, count(*)::DOUBLE AS w FROM t_raw GROUP BY src, dst),
+outdeg AS (SELECT src, sum(w) AS od FROM edges_agg GROUP BY src),
+ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.od FROM edges_agg e JOIN outdeg o ON e.src = o.src),
+r0 AS (SELECT id, 0.15::DOUBLE AS rank FROM tnodes),
+{",".join(steps)}
+SELECT tv.conv_id, tv.turn_idx, tv.text, round({prev}.rank + 1e-6, 3) AS score
+FROM {prev} JOIN tv ON {prev}.id = tv.id
+ORDER BY tv.conv_id, tv.turn_idx"""
+
+
 def q_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _scc_subgraph(spark, sf_dir, include_loop=False)
     return triangle_stream(g).select("node_a", "node_b", "node_c")
@@ -1735,6 +1919,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dijkstra_paths_events_sub": q_dijkstra_paths,
         "astar_paths_events_sub": q_astar_paths,
         "yens_paths_events_sub": q_yens_paths,
+        "yens_costs_events_sub": q_yens_costs,
+        "transcript_pagerank_events": q_transcript_pagerank_events,
         "bellman_ford_neg_events_sub": q_bellman_ford_neg,
         "dag_longest_events_sub": q_dag_longest,
         "clique_counts_parts_mod": q_clique_counts,
@@ -1794,6 +1980,8 @@ FROM nodes n LEFT JOIN (
   SELECT src AS id, count(*)::DOUBLE AS score FROM raw_edges GROUP BY src
 ) d ON n.id = d.id ORDER BY n.id""",
         "pagerank_events": _pagerank_sql(),
+        "transcript_pagerank_events": _transcript_pr_sql(),
+        "yens_costs_events_sub": _yens_costs_sql(),
         "wcc_events": f"""{_WCC_CLOSURE}
 SELECT id, component FROM comp ORDER BY id""",
         "wcc_stats": f"""{_WCC_CLOSURE},
