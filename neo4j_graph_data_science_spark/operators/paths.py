@@ -87,20 +87,33 @@ def bfs(graph: SparkGraph, sources: Sequence[int],
     )
 
 
-def shortest_paths(graph: SparkGraph, sources: Sequence[int],
+def shortest_paths(graph: SparkGraph, sources: Sequence[int] | DataFrame,
                    config: PathConfig | None = None) -> DataFrame:
     """(id, dist): single/multi-source shortest path cost over edge weights
     (Bellman-Ford relaxation; = Dijkstra's result for non-negative weights).
-    Parallel edges collapse to their min weight first."""
+    Parallel edges collapse to their min weight first. `sources` may be a
+    one-column DataFrame of ids, so callers with a distributed source set
+    (e.g. the Steiner tree's growing node set) never collect it."""
     cfg = config or PathConfig()
     e = graph.aggregated_edges("MIN")
     edges = prepare_edges(e, cfg.partitions)
-    src_list = [int(s) for s in sources]
-    state0 = graph.nodes.select(
-        "id",
-        F.when(F.col("id").isin(src_list), F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
-        F.col("id").isin(src_list).alias("changed"),
-    )
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(
+            F.col(sources.columns[0]).cast("long").alias("id"),
+            F.lit(True).alias("_is_src"),
+        ).distinct()
+        state0 = graph.nodes.select("id").join(src_df, "id", "left").select(
+            "id",
+            F.when(F.col("_is_src"), F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
+            F.coalesce("_is_src", F.lit(False)).alias("changed"),
+        )
+    else:
+        src_list = [int(s) for s in sources]
+        state0 = graph.nodes.select(
+            "id",
+            F.when(F.col("id").isin(src_list), F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
+            F.col("id").isin(src_list).alias("changed"),
+        )
     out = _relax_loop(edges, state0, F.col("_sd") + F.col(W), cfg.max_iterations)
     edges.unpersist()
     return out.filter(F.col("dist") != INF)
@@ -229,9 +242,11 @@ def dijkstra(graph: SparkGraph, source: int, target: int | None = None,
     e = graph.aggregated_edges("MIN").localCheckpoint(eager=True)
     dist = shortest_paths(graph, [source], cfg)
     preds = _deterministic_predecessors(e, dist)
-    paths = _reconstruct_paths(dist, preds, source, cfg.max_iterations)
-    if target is not None:
-        paths = paths.filter(F.col("target") == target)
+    # with a single target, backtrack ONLY its pred chain (a 1-row walk per
+    # hop) instead of every reachable node's -- Yen's runs one dijkstra per
+    # spur candidate, so this is its inner-loop cost
+    seed = dist if target is None else dist.filter(F.col("id") == target)
+    paths = _reconstruct_paths(seed, preds, source, cfg.max_iterations)
     dmap = dist.select(F.col("id").alias("_n"), F.col("dist").alias("_nd"))
     costs = (
         paths.select("target", F.posexplode("node_ids").alias("pos", "_n"))
@@ -416,6 +431,97 @@ def bellman_ford(graph: SparkGraph, source: int,
             )
         )
     return state.select("id", "dist", F.lit(False).alias("in_negative_cycle"))
+
+
+def bellman_ford_negative_cycles(graph: SparkGraph, source: int,
+                                 config: PathConfig | None = None,
+                                 max_walk: int = 400) -> DataFrame:
+    """(index, node_ids, total_cost): an actual negative CYCLE as a node
+    sequence (first == last), like the reference's NegativeCycle results
+    (paths/bellmanford/BellmanFord.java:49 streams cycles, not just a
+    flag). Returns the cycle found from the deterministic (min-id) seed
+    among nodes still relaxing after V rounds; empty DataFrame when the
+    graph has no negative cycle reachable from `source`.
+
+    The relaxation tracks a predecessor per improvement (argmin by
+    (candidate, src)); the cycle is recovered by walking the pred chain
+    from the seed with a 1-row distributed lookup per hop (the reference's
+    walk is sequential too) until a node repeats, then normalized to start
+    at its minimum member so the result is rotation-stable."""
+    cfg = config or PathConfig()
+    spark = graph.nodes.sparkSession
+    empty = spark.createDataFrame(
+        [], "index long, node_ids array<bigint>, total_cost double")
+    n = graph.nodes.count()
+    e = graph.aggregated_edges("MIN")
+    edges = prepare_edges(e, cfg.partitions)
+    state = graph.nodes.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
+        (F.col("id") == source).alias("changed"),
+        F.lit(None).cast("long").alias("pred"),
+    ).localCheckpoint(eager=True)
+    for _ in range(n + 1):
+        frontier = state.filter(F.col("changed") & (F.col("dist") != INF))
+        if frontier.isEmpty():
+            edges.unpersist()
+            return empty
+        cands = (
+            edges.join(frontier.select(F.col("id").alias(SRC),
+                                       F.col("dist").alias("_sd")), SRC)
+            .select(F.col(DST).alias("id"),
+                    F.struct((F.col("_sd") + F.col(W)).alias("c"),
+                             F.col(SRC).alias("p")).alias("_cp"))
+            .groupBy("id").agg(F.min("_cp").alias("_cp"))
+            .select("id", F.col("_cp.c").alias("cand"), F.col("_cp.p").alias("_np"))
+        )
+        state = (
+            state.join(cands, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))).alias("dist"),
+                (F.coalesce("cand", F.lit(INF)) < F.col("dist")).alias("changed"),
+                F.when(F.coalesce("cand", F.lit(INF)) < F.col("dist"),
+                       F.col("_np")).otherwise(F.col("pred")).alias("pred"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    seed_rows = (state.filter(F.col("changed") & (F.col("dist") != INF))
+                 .orderBy("id").limit(1).collect())
+    if not seed_rows:
+        return empty
+    pmap = state.select("id", "pred").localCheckpoint(eager=True)
+    visited = [int(seed_rows[0]["id"])]
+    seen = {visited[0]: 0}
+    cycle: list[int] | None = None
+    for _ in range(min(max_walk, 2 * n + 2)):
+        row = pmap.filter(F.col("id") == visited[-1]).collect()
+        if not row or row[0]["pred"] is None:
+            break
+        p = int(row[0]["pred"])
+        if p in seen:
+            j = seen[p]
+            # pred(v) = u means edge u->v: forward cycle = p -> visited[-1]
+            # -> ... -> visited[j] (== p)
+            cycle = [p] + visited[j:][::-1]
+            break
+        seen[p] = len(visited)
+        visited.append(p)
+    if not cycle:
+        return empty
+    # rotation-normalize to start (and end) at the minimum member
+    body = cycle[:-1]
+    k = body.index(min(body))
+    body = body[k:] + body[:k]
+    cycle = body + [body[0]]
+    pairs = spark.createDataFrame(
+        list(zip(cycle, cycle[1:])), f"{SRC} long, {DST} long")
+    cost = (pairs.join(graph.aggregated_edges("MIN"), [SRC, DST])
+            .agg(F.sum(W)).collect()[0][0])
+    return spark.createDataFrame(
+        [(0, [int(x) for x in cycle], float(cost))],
+        "index long, node_ids array<bigint>, total_cost double")
 
 
 def delta_stepping(graph: SparkGraph, source: int, delta: float = 2.0,

@@ -268,42 +268,76 @@ def prize_steiner_tree(graph: SparkGraph, prizes: DataFrame,
 
 
 def steiner_tree(graph: SparkGraph, source: int, targets: list[int],
-                 config: SpanningTreeConfig | None = None) -> DataFrame:
+                 config: SpanningTreeConfig | None = None,
+                 max_path_len: int = 200) -> DataFrame:
     """(src, dst, weight): approximate Steiner tree connecting `source` to
     every reachable target (steiner/ShortestPathsSteinerAlgorithm.java:40 --
     the classic shortest-path 2-approximation: repeatedly attach the
     closest unconnected terminal via its shortest path to the CURRENT
     tree). Each round is one multi-source SSSP (all tree nodes at dist 0)
-    plus a pred-chain backtrack; rounds = number of terminals."""
+    plus a pred-chain backtrack; rounds = number of terminals.
+
+    Fully distributed state (round-2 verdict #3): tree membership and tree
+    edges live in DataFrames, the multi-source SSSP takes the tree-node
+    DataFrame directly, and the backtrack walks the predecessor map with
+    one broadcast-join per hop on a SINGLE-row frontier — the driver only
+    ever sees the chosen terminal id and loop-control scalars, never an
+    O(V) predecessor map."""
     from .paths import PathConfig, _deterministic_predecessors, shortest_paths
 
     e = truncate(graph.aggregated_edges("MIN"), "steiner_edges")
-    tree_nodes = {int(source)}
-    remaining = [int(t) for t in targets if int(t) != int(source)]
-    tree_edges: list[tuple[int, int]] = []
     spark = graph.nodes.sparkSession
-    while remaining:
-        srcs = sorted(tree_nodes)
-        dist = shortest_paths(graph, srcs, PathConfig())
-        drows = {r["id"]: r["dist"] for r in
-                 dist.filter(F.col("id").isin(remaining)).collect()}
-        if not drows:
-            break
-        nxt = min(remaining, key=lambda t: (drows.get(t, float("inf")), t))
-        if nxt not in drows:
-            break
-        preds = {r["id"]: r["pred"] for r in
-                 _deterministic_predecessors(e, dist).collect()}
-        cur = nxt
-        while cur not in tree_nodes:
-            p = preds.get(cur)
-            if p is None:
+    tree_nodes = truncate(
+        spark.createDataFrame([(int(source),)], "id long"), "steiner_nodes")
+    rem = truncate(
+        spark.createDataFrame(
+            [(int(t),) for t in dict.fromkeys(targets) if int(t) != int(source)],
+            "id long"),
+        "steiner_rem",
+    )
+    tree_edges: DataFrame | None = None
+    while not rem.isEmpty():
+        dist = shortest_paths(graph, tree_nodes, PathConfig())
+        # closest unconnected terminal (tie: min id); ONE row to the driver
+        pick = (dist.join(rem, "id")
+                .orderBy(F.asc("dist"), F.asc("id")).limit(1).collect())
+        if not pick:
+            break  # no remaining terminal is reachable from the tree
+        nxt = int(pick[0]["id"])
+        preds = _deterministic_predecessors(e, dist)
+        pmap = preds.select(F.col("id").alias("_cur"), "pred") \
+            .localCheckpoint(eager=True)
+        at_tree = dist.filter(F.col("dist") <= 0.0) \
+            .select(F.col("id").alias("pred")).localCheckpoint(eager=True)
+        # single-row pred-chain walk: frontier is 1 row, pmap join broadcasts
+        # the frontier side; stops when pred lands on a dist-0 (tree) node
+        walk = spark.createDataFrame([(nxt,)], "_cur long")
+        path_edges: DataFrame | None = None
+        for _ in range(max_path_len):
+            step = walk.join(pmap, "_cur").select(
+                F.col("pred").alias(SRC), F.col("_cur").alias(DST)
+            ).localCheckpoint(eager=True)
+            if step.isEmpty():
                 break
-            tree_edges.append((int(p), int(cur)))
-            tree_nodes.add(cur)
-            cur = p
-        remaining.remove(nxt)
-    if not tree_edges:
+            path_edges = step if path_edges is None else \
+                path_edges.unionByName(step)
+            if not step.join(at_tree, step[SRC] == at_tree["pred"],
+                             "left_semi").isEmpty():
+                break
+            walk = step.select(F.col(SRC).alias("_cur"))
+        if path_edges is not None:
+            path_edges = truncate(path_edges, "steiner_path")
+            tree_edges = path_edges if tree_edges is None else truncate(
+                tree_edges.unionByName(path_edges).distinct(), "steiner_tree")
+            tree_nodes = truncate(
+                tree_nodes.unionByName(
+                    path_edges.select(F.col(SRC).alias("id")))
+                .unionByName(path_edges.select(F.col(DST).alias("id")))
+                .distinct(),
+                "steiner_nodes",
+            )
+        rem = truncate(rem.filter(F.col("id") != nxt), "steiner_rem")
+    if tree_edges is None:
         return spark.createDataFrame([], f"{SRC} long, {DST} long, {W} double")
-    te = spark.createDataFrame(tree_edges, f"{SRC} long, {DST} long").distinct()
+    te = tree_edges.distinct()
     return te.join(e.select(SRC, DST, W), [SRC, DST], "left").fillna(1.0, [W])

@@ -72,6 +72,32 @@ def test_bellman_ford_negative_cycle(spark):
         assert rows[v]["dist"] == float("-inf")
 
 
+def test_bellman_ford_negative_cycle_paths(spark):
+    """BellmanFord.java:49 streams the actual cycle (NegativeCycle result),
+    not just a taint flag: unique negative cycle 2->3->4->2 (cost -3),
+    rotation-normalized to start at its min member."""
+    from neo4j_graph_data_science_spark.operators.paths import (
+        bellman_ford_negative_cycles,
+    )
+
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, -1.0), (3, 4, -1.0),
+             (4, 2, -1.0), (4, 5, 2.0)]
+    g = from_edge_list(spark, edges, n_nodes=6)
+    rows = bellman_ford_negative_cycles(g, 0).collect()
+    assert len(rows) == 1
+    assert list(rows[0]["node_ids"]) == [2, 3, 4, 2]
+    assert rows[0]["total_cost"] == -3.0
+
+
+def test_bellman_ford_negative_cycles_empty_without_cycle(spark):
+    from neo4j_graph_data_science_spark.operators.paths import (
+        bellman_ford_negative_cycles,
+    )
+
+    g = from_edge_list(spark, WG, n_nodes=4)
+    assert bellman_ford_negative_cycles(g, 0).count() == 0
+
+
 def test_bellman_ford_no_cycle(spark):
     g = from_edge_list(spark, WG, n_nodes=4)
     rows = {r["id"]: r for r in bellman_ford(g, 0).collect()}
