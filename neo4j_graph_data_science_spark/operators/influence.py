@@ -1,18 +1,27 @@
 """CELF influence maximization (independent cascade).
 
 Reference: influenceMaximization/CELF.java:43 -- greedy seed selection
-under the independent-cascade model, estimated by Monte-Carlo simulation;
+under the independent-cascade model, estimated by Monte-Carlo simulation
+(ICLazyForwardMC / IndependentCascade.java simulate DIRECTED cascades);
 CELF's lazy priority queue is an evaluation-order optimization whose
 output equals plain greedy, which is what we compute.
 
-Spark formulation: for UNDIRECTED cascades, the spread of a seed set in
-one simulation is the size of the union of connected components (of the
-edge subgraph kept by that simulation's coin flips) that contain a seed.
-All R simulations run as ONE connected-components pass over R disjoint
-composite-id copies of the sampled graph (id' = id * R + sim); greedy
-rounds are then joins over the (sim, node, component) membership table --
-no per-candidate re-simulation. Coin flips are hash-derived per
-(undirected edge, simulation), so the whole run is deterministic.
+Spark formulation: the classic live-edge view of IC -- flipping each
+edge's coin up front yields a "live" subgraph per simulation, and a seed
+set's spread in that simulation is the number of nodes REACHABLE from a
+seed along live DIRECTED edges. All R simulations advance together: the
+reachability closure is one BFS over (sim, root, node) triples (composite
+frontier, one join + one anti-join per level), after which every greedy
+round is a pair of joins over the closure table -- no per-candidate
+re-simulation. Coin flips are hash-derived per (directed edge, simulation),
+so the whole run is deterministic.
+
+mode="undirected_components" keeps the cheaper round-2 approximation
+(WCC components of the coin-flipped undirected subgraph): exact only when
+cascades are symmetric (one coin per undirected edge), but it avoids the
+closure table, whose size is sum over (sim, node) of |reach(node)| --
+fine at the default p=0.1 (live subgraphs shatter), quadratic if p is
+pushed toward 1 on a well-connected graph.
 """
 
 from __future__ import annotations
@@ -33,6 +42,50 @@ class CelfConfig:
     propagation_probability: float = 0.1
     monte_carlo_simulations: int = 20
     seed: int = 42
+    mode: str = "directed"   # "directed" (reference IC) | "undirected_components"
+    max_levels: int = 64     # BFS depth bound for the directed closure
+
+
+def _directed_reach(graph: SparkGraph, cfg: CelfConfig) -> DataFrame:
+    """(sim, root, node): node is reachable from root over live directed
+    edges in simulation sim (root reaches itself)."""
+    R = cfg.monte_carlo_simulations
+    de = (
+        graph.edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST)).distinct()
+    )
+    sims = de.select(
+        SRC, DST, F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("sim"))
+    live = truncate(
+        sims.filter(
+            F.pmod(F.xxhash64(SRC, DST, "sim", F.lit(cfg.seed)), F.lit(1_000_000))
+            < int(cfg.propagation_probability * 1_000_000)
+        ),
+        "celf_live",
+    )
+    reach = truncate(
+        graph.nodes.select("id")
+        .select(F.col("id").alias("root"),
+                F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("sim"))
+        .select("sim", "root", F.col("root").alias("node")),
+        "celf_reach",
+    )
+    frontier = reach
+    for _ in range(cfg.max_levels):
+        nxt = (
+            frontier.join(live.select(F.col(SRC).alias("node"),
+                                      F.col(DST).alias("_n"), "sim"),
+                          ["sim", "node"])
+            .select("sim", "root", F.col("_n").alias("node"))
+            .distinct()
+        )
+        nxt = truncate(nxt.join(reach, ["sim", "root", "node"], "left_anti"),
+                       "celf_frontier")
+        if nxt.isEmpty():
+            break
+        reach = truncate(reach.unionByName(nxt), "celf_reach")
+        frontier = nxt
+    return reach
 
 
 def celf(graph: SparkGraph, config: CelfConfig | None = None) -> DataFrame:
@@ -40,6 +93,34 @@ def celf(graph: SparkGraph, config: CelfConfig | None = None) -> DataFrame:
     cumulative expected influence after adding that seed (GDS result shape)."""
     cfg = config or CelfConfig()
     R = cfg.monte_carlo_simulations
+    spark = graph.nodes.sparkSession
+
+    if cfg.mode == "directed":
+        reach = _directed_reach(graph, cfg)
+        covered = spark.createDataFrame([], "sim int, node bigint")
+        picks: list[tuple[int, float]] = []
+        total = 0.0
+        for _ in range(cfg.seed_set_size):
+            gains = (
+                reach.join(covered, ["sim", "node"], "left_anti")
+                .groupBy("root").agg((F.count(F.lit(1)) / F.lit(R)).alias("gain"))
+                .orderBy(F.col("gain").desc(), F.col("root").asc())
+                .limit(1)
+                .collect()
+            )
+            if not gains:
+                break
+            node, gain = int(gains[0]["root"]), float(gains[0]["gain"])
+            total += gain
+            picks.append((node, round(total, 6)))
+            covered = covered.unionByName(
+                reach.filter(F.col("root") == node).select("sim", "node")
+            ).distinct().localCheckpoint(eager=True)
+        return spark.createDataFrame(picks, "node_id long, spread double")
+
+    if cfg.mode != "undirected_components":
+        raise ValueError(f"unknown celf mode {cfg.mode!r}")
+
     canon = (
         graph.edges.select(F.least(SRC, DST).alias("a"),
                            F.greatest(SRC, DST).alias("b"))
@@ -74,9 +155,8 @@ def celf(graph: SparkGraph, config: CelfConfig | None = None) -> DataFrame:
     gains_base = truncate(
         membership.join(sizes, ["sim", "comp"]), "celf_gains")
 
-    spark = graph.nodes.sparkSession
     covered = spark.createDataFrame([], "sim int, comp bigint")
-    picks: list[tuple[int, float]] = []
+    picks = []
     total = 0.0
     for _ in range(cfg.seed_set_size):
         gains = (

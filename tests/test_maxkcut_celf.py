@@ -36,6 +36,24 @@ def test_celf_picks_hubs(spark):
     assert res[1]["spread"] == 13.0
 
 
+def test_celf_directed_cascade_semantics(spark):
+    """The case where directed IC provably differs from the round-2
+    undirected-components approximation (verdict #6): edges 0->1 and 2->1
+    at p=1. A directed cascade from 0 activates {0,1} (spread 2); the
+    undirected component {0,1,2} would claim spread 3. Hand-computed IC:
+    greedy picks 0 (spread 2.0) then 2 (cumulative 3.0)."""
+    g = from_edge_list(spark, [(0, 1), (2, 1)], n_nodes=3)
+    res = celf(g, CelfConfig(seed_set_size=2, propagation_probability=1.0,
+                             monte_carlo_simulations=3)).collect()
+    assert res[0]["node_id"] == 0 and res[0]["spread"] == 2.0
+    assert res[1]["node_id"] == 2 and res[1]["spread"] == 3.0
+    # the legacy approximation overstates exactly as predicted
+    legacy = celf(g, CelfConfig(seed_set_size=1, propagation_probability=1.0,
+                                monte_carlo_simulations=3,
+                                mode="undirected_components")).collect()
+    assert legacy[0]["spread"] == 3.0
+
+
 def test_celf_probabilistic_spread_bounds(spark):
     edges = [(0, i) for i in range(1, 6)]
     g = from_edge_list(spark, edges, n_nodes=6)
