@@ -148,17 +148,31 @@ class RandomWalkConfig:
     walks_per_node: int = 1
     seed: int = 42
     partitions: int | None = None
+    # node2vec second-order bias (traversal/RandomWalk.java:46 with the
+    # node2vec sampler: returnFactor = p, inOutFactor = q of the paper):
+    # candidate weight is 1/p when returning to the previous node, 1 when
+    # the candidate neighbors the previous node, 1/q otherwise. p=q=1
+    # degenerates to the uniform first-order walk (cheaper plan, no
+    # prev-adjacency join).
+    return_factor: float = 1.0    # p
+    in_out_factor: float = 1.0    # q
 
 
 def random_walks(graph: SparkGraph, config: RandomWalkConfig | None = None) -> DataFrame:
-    """(walk_id, start, step, node): uniform hash-chosen walks.
+    """(walk_id, start, step, node): hash-chosen walks, uniform or
+    p/q-biased (node2vec second order).
 
     Each step is one join + one min-reduce by (walk, step) -- the
     deterministic analogue of per-walk RNG, reproducible on any cluster.
+    The weighted pick uses Efraimidis-Spirakis exponential keys
+    (key = -ln(u)/weight, keep the min), so biasing stays a pure column
+    expression; the second-order bias needs one extra join per step
+    against the edge set to test candidate-adjacent-to-previous.
     Walks stop early at sink nodes (no out-neighbors)."""
     cfg = config or RandomWalkConfig()
     edges = prepare_edges(graph.edges.select(SRC, DST).distinct(), cfg.partitions)
     starts = graph.nodes.select("id")
+    biased = not (cfg.return_factor == 1.0 and cfg.in_out_factor == 1.0)
     walks = starts.select(
         F.col("id").alias("start"),
         F.explode(F.sequence(F.lit(0), F.lit(cfg.walks_per_node - 1))).alias("_w"),
@@ -166,8 +180,10 @@ def random_walks(graph: SparkGraph, config: RandomWalkConfig | None = None) -> D
         (F.col("start") * cfg.walks_per_node + F.col("_w")).alias("walk_id"),
         "start",
         F.col("start").alias("cur"),
+        F.lit(None).cast("long").alias("prev"),
     ).localCheckpoint(eager=True)
 
+    M = 1_000_000_007
     paths = [walks.select("walk_id", "start", F.lit(0).alias("step"),
                           F.col("cur").alias("node"))]
     frontier = walks
@@ -175,14 +191,33 @@ def random_walks(graph: SparkGraph, config: RandomWalkConfig | None = None) -> D
         nxt = (
             edges.join(frontier.withColumnRenamed("cur", SRC), SRC)
             .withColumn(
-                "_rk",
+                "_h",
                 F.xxhash64(F.col("walk_id"), F.lit(step), F.col(DST), F.lit(cfg.seed)),
             )
         )
+        if biased:
+            # candidate x with previous node t: weight 1/p if x==t; 1 if
+            # edge t->x exists; else 1/q (node2vec alpha of RandomWalk.java)
+            prev_adj = edges.select(F.col(SRC).alias("prev"),
+                                    F.col(DST).alias(DST),
+                                    F.lit(True).alias("_adj"))
+            nxt = nxt.join(prev_adj, ["prev", DST], "left")
+            wgt = (
+                F.when(F.col("prev").isNull(), F.lit(1.0))
+                .when(F.col(DST) == F.col("prev"),
+                      F.lit(1.0 / cfg.return_factor))
+                .when(F.col("_adj"), F.lit(1.0))
+                .otherwise(F.lit(1.0 / cfg.in_out_factor))
+            )
+            u = (F.pmod(F.col("_h"), F.lit(M)).cast("double") + F.lit(0.5)) / F.lit(float(M))
+            nxt = nxt.withColumn("_rk", -F.log(u) / wgt)
+        else:
+            nxt = nxt.withColumn("_rk", F.col("_h"))  # long order, no cast
         picked = (
             nxt.groupBy("walk_id")
             .agg(F.min_by(F.col(DST), F.col("_rk")).alias("cur"),
-                 F.first("start").alias("start"))
+                 F.first("start").alias("start"),
+                 F.first(SRC).alias("prev"))
             .localCheckpoint(eager=True)
         )
         if picked.count() == 0:
@@ -206,11 +241,14 @@ class Node2VecConfig:
     iterations: int = 1
     min_count: int = 0
     seed: int = 42
+    return_factor: float = 1.0    # p (node2vec second-order bias)
+    in_out_factor: float = 1.0    # q
 
 
 def node2vec(graph: SparkGraph, config: Node2VecConfig | None = None) -> DataFrame:
     """(id, embedding: array<double>): full node2vec = hash-deterministic
-    uniform walks (GDS default p=q=1) fed into Spark ML's Word2Vec
+    walks (p/q second-order bias via return_factor/in_out_factor; GDS
+    default p=q=1 is the uniform fast path) fed into Spark ML's Word2Vec
     (skip-gram with negative sampling / hierarchical softmax) -- the SGNS
     training stage of embeddings/node2vec/Node2Vec.java:39, which round 1
     left unimplemented. Training is distributed by Word2Vec's own
@@ -222,7 +260,8 @@ def node2vec(graph: SparkGraph, config: Node2VecConfig | None = None) -> DataFra
     cfg = config or Node2VecConfig()
     walks = random_walks(graph, RandomWalkConfig(
         walk_length=cfg.walk_length, walks_per_node=cfg.walks_per_node,
-        seed=cfg.seed))
+        seed=cfg.seed, return_factor=cfg.return_factor,
+        in_out_factor=cfg.in_out_factor))
     sents = (
         walks.groupBy("walk_id")
         .agg(F.array_sort(F.collect_list(F.struct("step", "node"))).alias("_sn"))

@@ -29,30 +29,139 @@ class RandomGraphConfig:
     average_degree: int = 4
     seed: int = 42
     rel_type: str = "REL"
+    # RelationshipDistribution.java: UNIFORM = fixed out-degree + uniform
+    # targets; RANDOM = gaussian out-degree (std = avg/2) + uniform targets;
+    # POWER_LAW = gaussian degree slots whose edges are SWAPPED onto
+    # power-law-sampled sources (RandomGraphGenerator.java:213-218 -- the
+    # swap is what makes the OUT-degree follow the power law).
+    relationship_distribution: str = "uniform"
+    allow_self_loops: bool = False          # AllowSelfLoops.NO default
+    keep_parallel_edges: bool = False       # Aggregation.NONE analogue
+    force_dag: bool = False                 # orient along a seeded permutation
+    # PropertyProducer analogues (PropertyProducer.java): relationship
+    # property {"name","type":"fixed","value"} or {"name","type":"random",
+    # "min","max"}; node properties a tuple of the same dicts, plus
+    # {"type":"embedding","dim"} for RandomEmbeddingProducer.
+    relationship_property: dict | None = None
+    node_properties: tuple = ()
+
+
+def _hash_uniform(*cols) -> F.Column:
+    """Deterministic U(0,1) from a hash of the given columns/literals."""
+    M = 1_000_000_007
+    return (F.pmod(F.xxhash64(*cols), F.lit(M)).cast("double") + F.lit(0.5)) / F.lit(
+        float(M)
+    )
+
+
+def _producer_col(prod: dict, *hash_cols) -> F.Column:
+    """PropertyProducer.java analogue as a pure column expression."""
+    kind = prod.get("type", "random")
+    if kind == "fixed":
+        return F.lit(float(prod["value"]))
+    lo, hi = float(prod.get("min", 0.0)), float(prod.get("max", 1.0))
+    if kind == "random":
+        return F.lit(lo) + _hash_uniform(*hash_cols) * F.lit(hi - lo)
+    if kind == "embedding":
+        dim = int(prod.get("dim", 8))
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.lit(lo) + _hash_uniform(*hash_cols, i) * F.lit(hi - lo),
+        )
+    raise ValueError(f"unknown property producer type {kind!r}")
 
 
 def generate_random_graph(spark: SparkSession,
                           config: RandomGraphConfig | None = None) -> SparkGraph:
-    """Uniform random graph: each node emits average_degree hash-chosen
-    targets (self-loops filtered, parallel edges deduped)."""
+    """gds.graph.generate parity (RandomGraphGenerator.java:63-235 +
+    RelationshipDistribution.java + DistributionHelper.java), hash-derived
+    so the same config yields the same graph at any parallelism:
+
+    - degree per node: fixed (UNIFORM) or gaussian via Box-Muller over two
+      hash-uniforms (gaussianSample: mean = averageDegree, std = avg/2);
+    - target per edge slot: uniform pmod sample, or the power-law
+      inverse-CDF of DistributionHelper.powerLawSample (min=1, max=n-1,
+      gamma = 1 + 1/averageDegree), with the POWER_LAW src/dst swap;
+    - force_dag orients every edge along a seeded hash permutation of the
+      ids (the reference's randomDagMapping is a seeded Fisher-Yates; a
+      hash rank is the distributed analogue with the same guarantee: the
+      orientation relation is a strict total order, hence acyclic);
+    - relationship/node PropertyProducers become column expressions.
+    """
     cfg = config or RandomGraphConfig()
-    nodes = spark.range(cfg.node_count).select(F.col("id").cast("long"))
-    edges = (
-        nodes.select(
-            F.col("id").alias(SRC),
-            F.explode(F.sequence(F.lit(0), F.lit(cfg.average_degree - 1))).alias("_k"),
+    n = cfg.node_count
+    dist = cfg.relationship_distribution.lower()
+    nodes = spark.range(n).select(F.col("id").cast("long"))
+    for i, prod in enumerate(cfg.node_properties):
+        nodes = nodes.withColumn(
+            prod["name"],
+            _producer_col(prod, F.col("id"), F.lit(cfg.seed + 1000 + i)),
         )
+
+    if dist == "uniform":
+        deg = F.lit(cfg.average_degree)
+    elif dist in ("random", "power_law"):
+        # gaussianSample(upper, mean=avg, std=avg/2) via Box-Muller
+        u1 = _hash_uniform(F.col("id"), F.lit("deg_u1"), F.lit(cfg.seed))
+        u2 = _hash_uniform(F.col("id"), F.lit("deg_u2"), F.lit(cfg.seed))
+        z = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)
+        deg = F.greatest(
+            F.lit(0),
+            F.round(z * F.lit(cfg.average_degree / 2.0)
+                    + F.lit(float(cfg.average_degree))).cast("int"),
+        )
+    else:
+        raise ValueError(
+            f"RelationshipDistribution `{cfg.relationship_distribution}` is "
+            "not supported. Must be one of: uniform, random, power_law."
+        )
+
+    slots = (
+        nodes.select("id", deg.alias("_deg"))
+        .filter(F.col("_deg") > 0)
         .select(
-            SRC,
-            F.pmod(
-                F.xxhash64(F.col(SRC), F.col("_k"), F.lit(cfg.seed)),
-                F.lit(cfg.node_count),
-            ).alias(DST),
+            F.col("id").alias(SRC),
+            F.explode(F.sequence(F.lit(0), F.col("_deg") - 1)).alias("_k"),
         )
-        .filter(F.col(SRC) != F.col(DST))
-        .distinct()
-        .select(SRC, DST, F.lit(cfg.rel_type).alias(REL), F.lit(1.0).alias(W))
     )
+    if dist == "power_law":
+        # powerLawSample(min=1, max=n-1, gamma=1+1/avg): inverse-CDF over a
+        # hash-uniform, then SWAP so the sampled end is the SOURCE
+        gamma = 1.0 + 1.0 / cfg.average_degree
+        lo_g, hi_g = 1.0, float(max(n - 1, 1)) ** (1.0 - gamma)
+        u = _hash_uniform(F.col(SRC), F.col("_k"), F.lit(cfg.seed))
+        tgt = F.round(
+            F.pow(F.lit(hi_g - lo_g) * u + F.lit(lo_g), F.lit(1.0 / (1.0 - gamma)))
+        ).cast("long")
+        pairs = slots.select(
+            tgt.alias(SRC), F.col(SRC).alias(DST), "_k",
+            F.col(SRC).alias("_slot_owner"),
+        )
+    else:
+        tgt = F.pmod(F.xxhash64(F.col(SRC), F.col("_k"), F.lit(cfg.seed)), F.lit(n))
+        pairs = slots.select(
+            SRC, tgt.alias(DST), "_k", F.col(SRC).alias("_slot_owner"))
+    if not cfg.allow_self_loops:
+        pairs = pairs.filter(F.col(SRC) != F.col(DST))
+    if cfg.force_dag:
+        # orient along the hash rank: rank(a) < rank(b) => edge a->b
+        ra = F.xxhash64(F.col(SRC), F.lit("dag"), F.lit(cfg.seed))
+        rb = F.xxhash64(F.col(DST), F.lit("dag"), F.lit(cfg.seed))
+        flip = (ra > rb) | ((ra == rb) & (F.col(SRC) > F.col(DST)))
+        pairs = pairs.select(
+            F.when(flip, F.col(DST)).otherwise(F.col(SRC)).alias(SRC),
+            F.when(flip, F.col(SRC)).otherwise(F.col(DST)).alias(DST),
+            "_k", "_slot_owner",
+        )
+    if cfg.relationship_property is not None:
+        wcol = _producer_col(cfg.relationship_property,
+                             F.col("_slot_owner"), F.col("_k"),
+                             F.lit(cfg.seed + 7))
+    else:
+        wcol = F.lit(1.0)
+    edges = pairs.select(SRC, DST, F.lit(cfg.rel_type).alias(REL), wcol.alias(W))
+    if not cfg.keep_parallel_edges:
+        edges = edges.groupBy(SRC, DST, REL).agg(F.min(W).alias(W))
     return SparkGraph(nodes=nodes, edges=edges, name="random")
 
 

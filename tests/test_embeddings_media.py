@@ -59,6 +59,55 @@ def test_random_walks_follow_edges(spark):
             assert (a, b) in edge_set, (wid, seq)
 
 
+def _return_rate(spark, p: float) -> float:
+    """Fraction of (t, 0, x) center transitions with x == t (an immediate
+    return) on a bidirectional star -- the distribution node2vec's
+    returnFactor shifts."""
+    edges = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    g = from_edge_list(spark, edges, n_nodes=9)
+    walks = random_walks(g, RandomWalkConfig(
+        walk_length=6, walks_per_node=4, seed=3,
+        return_factor=p, in_out_factor=1.0)).collect()
+    by: dict = {}
+    for r in walks:
+        by.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    ret = tot = 0
+    for steps in by.values():
+        seq = [steps[i] for i in sorted(steps)]
+        for a, b, c in zip(seq, seq[1:], seq[2:]):
+            if b == 0 and a != 0:
+                tot += 1
+                ret += int(c == a)
+    assert tot > 0
+    return ret / tot
+
+
+def test_biased_walks_shift_return_probability(spark):
+    """node2vec p/q bias (RandomWalk.java:46): weight 1/p on returning to
+    the previous node -- small p must pull the walk back, large p push it
+    away; both runs must still follow edges (checked by the star shape
+    itself: every hop is center<->leaf)."""
+    strong_return = _return_rate(spark, 0.01)   # weight 100 vs 1
+    avoid_return = _return_rate(spark, 100.0)   # weight 0.01 vs 1
+    assert strong_return > 0.7, strong_return
+    assert avoid_return < 0.3, avoid_return
+    assert strong_return > avoid_return
+
+
+def test_biased_walks_follow_edges(spark):
+    g = from_edge_list(spark, EDGES, n_nodes=5)
+    walks = random_walks(g, RandomWalkConfig(
+        walk_length=5, seed=7, return_factor=0.5, in_out_factor=2.0)).collect()
+    edge_set = set(EDGES)
+    by_walk: dict = {}
+    for r in walks:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    for wid, steps in by_walk.items():
+        seq = [steps[i] for i in sorted(steps)]
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in edge_set, (wid, seq)
+
+
 def test_generate_random_graph_deterministic(spark):
     cfg = RandomGraphConfig(node_count=200, average_degree=3, seed=11)
     g1 = generate_random_graph(spark, cfg)
@@ -172,3 +221,57 @@ def test_degree_update_batch_overwrites(spark, tmp_path):
     fn2(t, 0)
     expected = spark.read.parquet(f"{tmp_path}/state2/degree").count()
     assert total == expected
+
+
+def test_generate_power_law_distribution(spark):
+    """POWER_LAW parity (RelationshipDistribution.java + the src/dst swap of
+    RandomGraphGenerator.java:213-218): out-degree must be heavily skewed --
+    the single hottest node owns far more than the uniform share -- and
+    hub mass must sit at LOW ids (powerLawSample(min=1,...) skews small)."""
+    from pyspark.sql import functions as F
+
+    g = generate_random_graph(spark, RandomGraphConfig(
+        node_count=500, average_degree=4, seed=5,
+        relationship_distribution="power_law"))
+    deg = (g.edges.groupBy("src").count().orderBy(F.desc("count"))
+           .limit(5).collect())
+    assert deg[0]["count"] > 40          # uniform share would be ~4
+    assert all(r["src"] <= 20 for r in deg)  # hubs are the low ids
+
+
+def test_generate_random_distribution_varies_degree(spark):
+    from pyspark.sql import functions as F
+
+    g = generate_random_graph(spark, RandomGraphConfig(
+        node_count=400, average_degree=6, seed=9,
+        relationship_distribution="random", keep_parallel_edges=True))
+    stats = g.edges.groupBy("src").count().agg(
+        F.avg("count").alias("m"), F.stddev("count").alias("s")).collect()[0]
+    assert 4.0 < stats["m"] < 8.0        # gaussian mean ~ averageDegree
+    assert stats["s"] > 1.0              # ...but NOT fixed (UNIFORM would be)
+
+
+def test_generate_force_dag_and_properties(spark):
+    """force_dag orients along a seeded permutation => acyclic; property
+    producers (PropertyProducer.java) land as columns with the right
+    ranges."""
+    from pyspark.sql import functions as F
+
+    from neo4j_graph_data_science_spark.operators.paths import topological_sort
+
+    g = generate_random_graph(spark, RandomGraphConfig(
+        node_count=120, average_degree=3, seed=13, force_dag=True,
+        relationship_property={"name": "w", "type": "random",
+                               "min": 2.0, "max": 5.0},
+        node_properties=({"name": "x", "type": "random", "min": -1.0,
+                          "max": 1.0},
+                         {"name": "emb", "type": "embedding", "dim": 4,
+                          "min": 0.0, "max": 1.0}),
+    ))
+    # acyclic iff topological sort covers every node
+    assert topological_sort(g).count() == 120
+    wr = g.edges.agg(F.min("weight"), F.max("weight")).collect()[0]
+    assert wr[0] >= 2.0 and wr[1] <= 5.0
+    row = g.nodes.select("x", "emb").first()
+    assert -1.0 <= row["x"] <= 1.0
+    assert len(row["emb"]) == 4 and all(0.0 <= v <= 1.0 for v in row["emb"])
