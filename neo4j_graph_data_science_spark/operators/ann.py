@@ -32,18 +32,32 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    source_filter: str | None = None,
+    target_filter: str | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine): exact top-k per query.
 
     queries is broadcast (keep it small); corpus is scanned once.
     Deterministic tie-break: (cosine desc, neighbor_id asc).
-    """
+
+    ``source_filter`` / ``target_filter`` are SQL predicates over the
+    pseudo-column ``node`` (e.g. "node % 2 = 0"), the exact counterpart of
+    the reference's filtered KNN (similarity/filteredknn/
+    FilteredKnn.java): sources are restricted before the scan, targets
+    before the per-source top-k, so each surviving source still gets its k
+    nearest MATCHING targets."""
+    import re as _re
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
+    if source_filter:
+        q = q.filter(F.expr(_re.sub(r"\bnode\b", "query_id", source_filter)))
+    if target_filter:
+        c = c.filter(F.expr(_re.sub(r"\bnode\b", "neighbor_id", target_filter)))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -293,3 +307,46 @@ def nn_descent_topk(
     out_score = (F.col("_score").alias("cosine") if metric == "cosine"
                  else (-F.col("_score")).alias("distance"))
     return knn.select("query_id", "neighbor_id", out_score)
+
+
+def filtered_knn(
+    corpus: DataFrame,
+    k: int = 10,
+    iterations: int = 3,
+    source_filter: str | None = None,
+    target_filter: str | None = None,
+    oversample: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Filtered k-NN (reference similarity/filteredknn/FilteredKnn.java:
+    sourceNodeFilter / targetNodeFilter over the KNN result stream).
+
+    The SEARCH runs unfiltered — NN-Descent's neighbor-of-neighbor
+    proposals need the full graph for connectivity, exactly why the
+    reference filters at result-assembly rather than during search — but
+    with an oversampled list size (k * oversample); targets are then
+    filtered and each matching source keeps its k best matching targets.
+    Sources absent from the filter are dropped at the end (per-source lists
+    are independent, so source filtering is exact). Recall degrades only
+    when fewer than k of a source's top (k*oversample) neighbors match the
+    target filter."""
+    import re as _re
+
+    raw = nn_descent_topk(corpus, k=k * max(oversample, 1),
+                          iterations=iterations, id_col=id_col,
+                          vec_col=vec_col, seed=seed, metric=metric)
+    score_col = "cosine" if metric == "cosine" else "distance"
+    if source_filter:
+        raw = raw.filter(F.expr(_re.sub(r"\bnode\b", "query_id", source_filter)))
+    if target_filter:
+        raw = raw.filter(F.expr(_re.sub(r"\bnode\b", "neighbor_id", target_filter)))
+    order = (F.col(score_col).desc() if metric == "cosine"
+             else F.col(score_col).asc())
+    win = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id").asc())
+    return (
+        raw.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k).drop("_rn")
+    )

@@ -32,7 +32,12 @@ class NodeSimilarityConfig:
     bottom_k: int | None = None      # most-DISsimilar k instead (GDS bottomK)
     degree_cutoff: int = 1           # min neighbor-set size (NodeSimilarity semantics)
     similarity_cutoff: float = 0.0
-    max_fanout_neighbor_degree: int | None = None
+    # Default BOUNDED (round-2 verdict #6): one celebrity neighbor with d
+    # owners fans out d^2 pairs through the shared-neighbor join, which is
+    # quadratic blow-up at 100x scale. 10k owners -> <=1e8 pair fragments
+    # per hot neighbor, still shuffle-safe; pass None for the exact
+    # all-pairs semantics (the DuckDB-oracle contract queries do).
+    max_fanout_neighbor_degree: int | None = 10_000
     # filtered node similarity (similarity/filterednodesim/): restrict the
     # compared pairs by source / target predicate over the node id column.
     # Filtering happens BEFORE the pair join, so filtered runs shrink the

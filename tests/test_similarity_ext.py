@@ -43,3 +43,51 @@ def test_bottom_k(spark):
     got = {r["node1"]: r["node2"] for r in out.collect()}
     # node1's LEAST similar partner is 3 (jaccard 1/3 < 1.0 with 2)
     assert got[1] == 3
+
+
+def _vecs(spark, n=40, dim=8):
+    rows = []
+    for i in range(n):
+        rows.append((i, [float((i * 7 + k * 13) % 10) + (1.0 if k == i % dim else 0.0)
+                         for k in range(dim)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_filters(spark):
+    """Filtered KNN semantics (similarity/filteredknn/FilteredKnn.java):
+    sources restricted up front, targets before the per-source top-k, so
+    every surviving source still gets k MATCHING neighbors."""
+    from neo4j_graph_data_science_spark.operators.ann import brute_force_topk
+
+    emb = _vecs(spark)
+    out = brute_force_topk(emb, emb, k=3, source_filter="node % 3 = 0",
+                           target_filter="node % 2 = 1").collect()
+    assert out, "filtered result must be non-empty"
+    qs = {r["query_id"] for r in out}
+    assert all(q % 3 == 0 for q in qs)
+    assert all(r["neighbor_id"] % 2 == 1 for r in out)
+    from collections import Counter
+
+    counts = Counter(r["query_id"] for r in out)
+    assert all(c == 3 for c in counts.values())
+
+
+def test_filtered_knn_recall_vs_exact(spark):
+    from neo4j_graph_data_science_spark.operators.ann import (
+        brute_force_topk,
+        filtered_knn,
+    )
+
+    emb = _vecs(spark)
+    exact = brute_force_topk(emb, emb, k=3, source_filter="node % 3 = 0",
+                             target_filter="node % 2 = 1").collect()
+    approx = filtered_knn(emb, k=3, iterations=4, oversample=4,
+                          source_filter="node % 3 = 0",
+                          target_filter="node % 2 = 1").collect()
+    qs = {r["query_id"] for r in approx}
+    assert all(q % 3 == 0 for q in qs)
+    assert all(r["neighbor_id"] % 2 == 1 for r in approx)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, recall
