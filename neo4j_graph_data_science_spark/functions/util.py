@@ -35,9 +35,11 @@ def is_finite(col: Column) -> Column:
 
 
 def is_infinite(col: Column) -> Column:
-    """gds.util.isInfinite (NULL/NaN are not infinite, as in GDS)."""
-    c = col.cast("double")
-    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) == F.lit(float("inf")))
+    """gds.util.isInfinite == NOT isFinite, exactly as the reference
+    (proc/common/.../IsFiniteFunc.java:36-38 returns
+    ``value == null || !Double.isFinite(value)``): NULL and NaN are BOTH
+    "infinite" under this predicate, not just +-Infinity."""
+    return ~is_finite(col)
 
 
 def as_nodes(result: DataFrame, graph: SparkGraph, id_col: str = "id") -> DataFrame:

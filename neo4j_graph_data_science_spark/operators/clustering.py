@@ -99,6 +99,10 @@ class HdbscanConfig:
     nn_iterations: int = 3
     extraction: str = "eps"      # "eps" | "stability" (excess-of-mass)
     allow_single_cluster: bool = False
+    # Stability extraction is a driver post-pass over the O(V) MST (the
+    # reference's dendrogram walk is sequential too); this guard makes an
+    # oversized collect a clear error instead of a driver OOM.
+    max_collected_mst_edges: int = 2_000_000
 
 
 def _stability_extract(ids: list, mst: list, min_cluster_size: int,
@@ -323,14 +327,30 @@ def hdbscan(vectors: DataFrame, config: HdbscanConfig | None = None,
     g = SparkGraph(nodes=pts.select("id"), edges=mr)
     tree = spanning_tree(g)
     if cfg.extraction == "stability":
-        ids = [r["id"] for r in pts.select("id").collect()]
+        # driver collects ONLY the O(V) MST edge list (leaf ids derive from
+        # it -- the backbone keeps the MR graph connected, so every point
+        # with >=2 peers appears); points absent from the MST (singleton
+        # inputs) come back as noise via the distributed left join below.
+        n_mst = tree.count()
+        if n_mst > cfg.max_collected_mst_edges:
+            raise ValueError(
+                f"hdbscan stability extraction would collect {n_mst} MST "
+                f"edges to the driver (> max_collected_mst_edges="
+                f"{cfg.max_collected_mst_edges}); use extraction='eps' at "
+                "this scale or raise the guard explicitly"
+            )
         mst = [(r[SRC], r[DST], r[W]) for r in tree.collect()]
+        ids = sorted({s for s, _, _ in mst} | {d for _, d, _ in mst})
         labels = _stability_extract(ids, mst, cfg.min_cluster_size,
                                     cfg.allow_single_cluster)
         spark = vectors.sparkSession
-        return spark.createDataFrame(
+        lab_df = spark.createDataFrame(
             [(int(i), int(labels.get(i, -1))) for i in ids],
             "id long, cluster long",
+        )
+        return (
+            pts.select("id").join(lab_df, "id", "left")
+            .select("id", F.coalesce("cluster", F.lit(-1)).alias("cluster"))
         )
     kept = tree.filter(F.col(W) <= cfg.cut_distance)
     comp = wcc(SparkGraph(

@@ -47,6 +47,9 @@ class GraphSageConfig:
     negative_samples: int = 5                  # Q in the unsupervised loss
     seed: int = 42
     partitions: int | None = None
+    # guard on the driver-side dense training adjacency (O(n^2) doubles):
+    # 30k nodes ~= 7.2 GB, a clear error instead of an OOM
+    max_involved_nodes: int = 30_000
 
 
 def _degree_features(graph: SparkGraph) -> DataFrame:
@@ -108,7 +111,26 @@ def _sample_training_tensors(graph: SparkGraph, features: DataFrame,
     e1 = sampled_out_edges(roots)
     hop1 = e1.select(F.col(DST).alias("id")).distinct()
     e2 = sampled_out_edges(hop1)
-    sub_edges = e1.unionByName(e2).distinct().toPandas()
+    sub = e1.unionByName(e2).distinct()
+    # Explicit guard on the driver-side tensor (round-2 verdict #9): the
+    # sample is bounded by config (O(train_node_count * fanout^2) worst
+    # case), but a misconfigured run should fail loudly, not OOM. The dense
+    # adjacency is O(involved^2) doubles, so cap the ACTUAL involved-node
+    # count (cheap count job) before pulling anything.
+    n_involved = (
+        sub.select(F.col(SRC).alias("id"))
+        .unionByName(sub.select(F.col(DST).alias("id")))
+        .unionByName(roots).distinct().count()
+    )
+    if n_involved > cfg.max_involved_nodes:
+        raise ValueError(
+            f"graphsage training sample involves {n_involved} nodes "
+            f"(> max_involved_nodes={cfg.max_involved_nodes}); the dense "
+            "driver-side adjacency would be "
+            f"~{8 * n_involved * n_involved / 1e9:.1f} GB -- lower "
+            "train_node_count or sample_sizes, or raise the guard"
+        )
+    sub_edges = sub.toPandas()
     involved = sorted(
         set(sub_edges[SRC]) | set(sub_edges[DST])
         | {r["id"] for r in roots.collect()}

@@ -59,6 +59,10 @@ class PageRankConfig:
     # supersteps per materialization/convergence check (plans/pregel.py
     # PregelConfig.check_every): >1 batches supersteps into one Spark job
     check_every: int = 1
+    # post-processing scaler applied to the final scores, as the reference's
+    # `scaler` config (PageRankAlgorithm.java:107-133 scales the result
+    # vector after convergence): one of operators/scaling.SCALERS or None
+    scaler: str | None = None
 
 
 def _out_degrees(edges: DataFrame) -> DataFrame:
@@ -70,6 +74,16 @@ def _out_degrees(edges: DataFrame) -> DataFrame:
     multigraph (DegreeFunctions.java:39-56)."""
     return edges.groupBy(F.col(SRC).alias("id")).agg(F.sum(W).alias("out_deg"))
 
+
+def _apply_scaler(state: DataFrame, scaler: str | None) -> DataFrame:
+    """PageRank-family post-scaler (PageRankAlgorithm.java:107-133): scale
+    the converged score column in place; GDS spells these MinMax/L2Norm/...,
+    normalized here to the scaling.SCALERS lowercase names."""
+    if scaler is None or str(scaler).lower() == "none":
+        return state
+    from .scaling import scale_property
+
+    return scale_property(state, "score", str(scaler).lower(), out_col="score")
 
 def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> PregelResult:
     """Returns PregelResult whose state is (id, rank, delta)."""
@@ -151,7 +165,8 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
         converged_stats=converged_stats,
     )
     res.iterations += 1  # report GDS-style superstep count incl. initial send
-    res.state = res.state.select("id", F.col("rank").alias("score"))
+    res.state = _apply_scaler(
+        res.state.select("id", F.col("rank").alias("score")), cfg.scaler)
     edges.unpersist()
     return res
 
@@ -203,7 +218,8 @@ def article_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pre
     res = run_pregel(state0, superstep, converged,
                      PregelConfig(cfg.max_iterations, cfg.tolerance, cfg.partitions,
                                   cfg.checkpoint_dir, 1, cfg.run_id))
-    res.state = res.state.select("id", F.col("rank").alias("score"))
+    res.state = _apply_scaler(
+        res.state.select("id", F.col("rank").alias("score")), cfg.scaler)
     edges.unpersist()
     return res
 
@@ -283,6 +299,7 @@ def eigenvector(graph: SparkGraph, config: PageRankConfig | None = None) -> Preg
     res = run_pregel(state0, superstep, converged,
                      PregelConfig(max(cfg.max_iterations - 1, 0), cfg.tolerance,
                                   cfg.partitions, cfg.checkpoint_dir, 1, cfg.run_id))
-    res.state = res.state.select("id", F.col("rank").alias("score"))
+    res.state = _apply_scaler(
+        res.state.select("id", F.col("rank").alias("score")), cfg.scaler)
     edges.unpersist()
     return res

@@ -138,3 +138,52 @@ def estimate(graph: SparkGraph, algorithm: str, *,
         "bytesMax": int(hi),
         "requiredMemory": f"[{int(lo)} Bytes ... {int(hi)} Bytes]",
     }
+
+
+class MemoryGuardError(RuntimeError):
+    """Raised when an estimated run would exceed the session's memory."""
+
+
+def _session_memory_bytes(spark) -> int:
+    """Usable execution+storage memory of the session: executor memory x
+    spark.memory.fraction x executor count (local mode = 1 JVM). Falls back
+    to the JVM's actual max heap when no explicit setting exists."""
+    conf = spark.sparkContext.getConf()
+    mem = conf.get("spark.executor.memory", None) or conf.get(
+        "spark.driver.memory", None)
+    if mem:
+        units = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+        m = str(mem).strip().lower()
+        mult = units.get(m[-1], 1)
+        size = int(float(m[:-1] if m[-1] in units else m)) * mult
+    else:
+        size = int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    frac = float(conf.get("spark.memory.fraction", "0.6"))
+    n_exec = max(int(conf.get("spark.executor.instances", "1")), 1)
+    return int(size * frac * n_exec)
+
+
+def memory_guard(graph: SparkGraph, algorithm: str, spark=None, *,
+                 embedding_dim: int = 0, sampling_size: int | None = None,
+                 use_max_estimate: bool = False) -> dict:
+    """Enforce estimate mode BEFORE running, as the reference's MemoryGuard
+    (applications/algorithms/machinery/
+    DefaultAlgorithmProcessingTemplate.java:59 refuses runs whose estimate
+    exceeds free memory; `sudo`/bypass there == use_max_estimate=False
+    here checks bytesMin, True checks bytesMax). Raises MemoryGuardError
+    with both numbers when the estimate does not fit; returns the estimate
+    dict (with the budget attached) when it does."""
+    est = estimate(graph, algorithm, embedding_dim=embedding_dim,
+                   sampling_size=sampling_size)
+    spark = spark or graph.nodes.sparkSession
+    budget = _session_memory_bytes(spark)
+    need = est["bytesMax"] if use_max_estimate else est["bytesMin"]
+    est["memoryBudgetBytes"] = budget
+    if need > budget:
+        raise MemoryGuardError(
+            f"{algorithm}: estimated {'max' if use_max_estimate else 'min'} "
+            f"memory {need} B exceeds the session's usable memory "
+            f"{budget} B (executor memory x spark.memory.fraction x "
+            "executors); shrink the graph/config or raise executor memory"
+        )
+    return est

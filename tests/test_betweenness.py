@@ -61,3 +61,24 @@ def test_sampling_subset_bounded(spark):
     sampled = _scores(spark, CONNECTED_CYCLES, 6, sampling_size=3)
     for node, v in sampled.items():
         assert v <= exact[node] + 1e-9
+
+
+def test_exact_mode_auto_samples_above_node_limit(spark):
+    """Scale guard: sampling_size=None on a graph above exact_node_limit
+    downgrades to degree-weighted sampling with a warning (exact Brandes
+    carries an O(V^2) pair frontier at scale); force_exact opts out."""
+    import warnings
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6)]
+    g = from_edge_list(spark, edges, n_nodes=12)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = betweenness(g, BetweennessConfig(exact_node_limit=8)).collect()
+    assert any("auto-sampling" in str(x.message) for x in w)
+    assert len(out) == 12
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        betweenness(g, BetweennessConfig(exact_node_limit=8,
+                                         force_exact=True)).collect()
+    assert not any("auto-sampling" in str(x.message) for x in w)

@@ -63,3 +63,14 @@ def test_graphsage_deterministic(spark):
     e2 = sorted((r["id"], tuple(np.round(r["embedding"], 9)))
                 for r in graphsage_predict(g, m2, feats, cfg).collect())
     assert e1 == e2
+
+
+def test_training_sample_guard(spark):
+    """A misconfigured training sample fails loudly before building the
+    O(involved^2) driver-side adjacency (round-2 verdict #9)."""
+    import pytest
+
+    g, feats = _two_cliques(spark)
+    with pytest.raises(ValueError, match="max_involved_nodes"):
+        graphsage_train(g, feats, GraphSageConfig(train_node_count=8,
+                                                  max_involved_nodes=4))

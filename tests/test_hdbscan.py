@@ -46,3 +46,15 @@ def test_hdbscan_stability_extraction(spark):
     assert len(a) == 1 and len(b) == 1 and a != b
     assert -1 not in a and -1 not in b
     assert out[500] == -1 and out[501] == -1
+
+
+def test_stability_mst_collect_guard(spark):
+    """An oversized stability-mode MST collect is a clear error, not a
+    driver OOM (round-2 verdict #9)."""
+    import pytest
+
+    rows = [(i, [float(i), 0.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_collected_mst_edges"):
+        hdbscan(df, HdbscanConfig(min_pts=2, knn_k=4, extraction="stability",
+                                  max_collected_mst_edges=3))

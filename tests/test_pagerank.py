@@ -162,3 +162,18 @@ def test_pagerank_check_every_batching_parity(spark):
     diff = (r1.state.join(r4.state.withColumnRenamed("score", "s4"), "id")
             .agg(F.max(F.abs(F.col("score") - F.col("s4")))).collect()[0][0])
     assert diff < 1e-12
+
+
+def test_pagerank_scaler_minmax(spark):
+    """`scaler` config parity (PageRankAlgorithm.java:107-133): the post-run
+    scaler rescales converged scores without changing their order."""
+    g = from_edge_list(spark, [(0, 1), (1, 2), (2, 0), (3, 0)], n_nodes=4)
+    raw = page_rank(g, PageRankConfig(max_iterations=20)).state.collect()
+    scl = page_rank(g, PageRankConfig(max_iterations=20,
+                                      scaler="minmax")).state.collect()
+    r = {x["id"]: x["score"] for x in raw}
+    s = {x["id"]: x["score"] for x in scl}
+    assert min(s.values()) == 0.0 and max(s.values()) == 1.0
+    order_raw = sorted(r, key=lambda i: (r[i], i))
+    order_scl = sorted(s, key=lambda i: (s[i], i))
+    assert order_raw == order_scl

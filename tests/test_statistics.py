@@ -64,3 +64,23 @@ def test_estimate_scales_with_graph(spark):
     assert e_small["bytesMax"] == 2 * e_small["bytesMin"]
     bc = estimate(g_small, "betweenness", sampling_size=2)
     assert bc["bytesMin"] > e_small["bytesMin"]
+
+
+def test_memory_guard_fits(spark):
+    from neo4j_graph_data_science_spark.operators.statistics import memory_guard
+
+    g = from_edge_list(spark, [(0, 1), (1, 2)], n_nodes=3)
+    est = memory_guard(g, "pagerank", spark)
+    assert est["memoryBudgetBytes"] > est["bytesMin"]
+    assert est["algorithm"] == "pagerank"
+
+
+def test_memory_guard_refuses(spark, monkeypatch):
+    """MemoryGuard parity (DefaultAlgorithmProcessingTemplate.java:59):
+    a run whose estimate exceeds the session budget must refuse up front."""
+    import neo4j_graph_data_science_spark.operators.statistics as st
+
+    g = from_edge_list(spark, [(0, 1), (1, 2)], n_nodes=3)
+    monkeypatch.setattr(st, "_session_memory_bytes", lambda s: 16)
+    with pytest.raises(st.MemoryGuardError, match="exceeds"):
+        st.memory_guard(g, "pagerank", spark)

@@ -22,8 +22,11 @@ def test_numeric_guards(spark):
         U.is_infinite(F.col("x")).alias("inf"),
     )
     got = {r["id"]: (r["fin"], r["inf"]) for r in df.collect()}
-    assert got == {1: (True, False), 2: (False, False), 3: (False, True),
-                   4: (False, True), 5: (False, False)}
+    # isInfinite == NOT isFinite per IsFiniteFunc.java:36-38 — NULL and NaN
+    # count as infinite, matching the reference's `value == null ||
+    # !Double.isFinite(value)`.
+    assert got == {1: (True, False), 2: (False, True), 3: (False, True),
+                   4: (False, True), 5: (False, True)}
 
 
 def test_nan_infinity_literals(spark):
