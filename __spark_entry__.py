@@ -17,6 +17,7 @@ still verifying ~1e-6 agreement (the north-rule PageRank tolerance).
 from __future__ import annotations
 
 import functools
+import itertools
 import os
 import threading
 from collections.abc import Callable
@@ -152,7 +153,7 @@ corpus AS (
 )"""
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(scaled: bool = False) -> str:
     steps = []
     prev = "r0"
     for i in range(1, PR_ITERS + 1):
@@ -167,13 +168,20 @@ def _pagerank_sql() -> str:
 )"""
         )
         prev = cur
+    if scaled:
+        # minmax post-scaler (PageRankAlgorithm.java:107-133 scaler config)
+        final = f"""SELECT id,
+       round((rank - min(rank) OVER ()) / (max(rank) OVER () - min(rank) OVER ()), 5) AS score
+FROM {prev} ORDER BY id"""
+    else:
+        final = f"SELECT id, round(rank, 5) AS score FROM {prev} ORDER BY id"
     return f"""WITH {_ev_ctes()},
 edges_agg AS (SELECT src, dst, count(*)::DOUBLE AS w FROM raw_edges GROUP BY src, dst),
 outdeg AS (SELECT src, sum(w) AS od FROM edges_agg GROUP BY src),
 ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.od FROM edges_agg e JOIN outdeg o ON e.src = o.src),
 r0 AS (SELECT id, 0.15::DOUBLE AS rank FROM nodes),
 {",".join(steps)}
-SELECT id, round(rank, 5) AS score FROM {prev} ORDER BY id"""
+{final}"""
 
 
 def _lpa_ctes() -> tuple[str, str]:
@@ -309,6 +317,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round("score", 5).alias("score"))
 
 
+def q_pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with the reference's post-run `scaler` config wired
+    (PageRankAlgorithm.java:107-133): minmax over the converged scores."""
+    g = events_graph(spark, sf_dir)
+    res = page_rank(g, PageRankConfig(max_iterations=PR_ITERS + 1,
+                                      tolerance=0.0, scaler="minmax"))
+    return res.state.select("id", F.round("score", 5).alias("score"))
+
+
 def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = events_graph(spark, sf_dir)
     return wcc(g, WccConfig()).state.select("id", "component")
@@ -364,7 +381,9 @@ def q_node_similarity_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     adj = customer_part_bipartite(spark, sf_dir)
     out = node_similarity(
-        adj, "c_custkey", "p_partkey", NodeSimilarityConfig(metric="jaccard", top_k=10)
+        adj, "c_custkey", "p_partkey",
+        NodeSimilarityConfig(metric="jaccard", top_k=10,
+                             max_fanout_neighbor_degree=None),  # oracle: exact
     )
     top = global_top_n(out, 50, "similarity")
     return top.select("node1", "node2", F.round("similarity", 6).alias("similarity"))
@@ -419,7 +438,9 @@ def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = customer_part_bipartite(spark, sf_dir)
     out = node_similarity(
-        adj, "c_custkey", "p_partkey", NodeSimilarityConfig(metric="jaccard", top_k=10)
+        adj, "c_custkey", "p_partkey",
+        NodeSimilarityConfig(metric="jaccard", top_k=10,
+                             max_fanout_neighbor_degree=None),  # oracle: exact
     )
     return out.select("node1", "node2", F.round("similarity", 6).alias("similarity"))
 
@@ -436,7 +457,9 @@ def q_node_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = node_similarity(
         adj, "c", "p",
-        NodeSimilarityConfig(metric="cosine", top_k=5), weight_col="w",
+        NodeSimilarityConfig(metric="cosine", top_k=5,
+                             max_fanout_neighbor_degree=None),  # oracle: exact
+        weight_col="w",
     )
     return out.select("node1", "node2", F.round("similarity", 6).alias("similarity"))
 
@@ -707,6 +730,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 25)
     out = brute_force_topk(emb, queries_df, k=10)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered KNN semantics (similarity/filteredknn/FilteredKnn.java:
+    sourceNodeFilter / targetNodeFilter) on the exact brute-force path, so
+    the filtered result is DuckDB-verifiable; the NN-Descent-backed
+    filtered_knn variant is exercised rows-only (filtered_knn_embeddings)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 25), k=5,
+        source_filter="node % 3 = 0", target_filter="node % 2 = 1",
+    )
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
 
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,15 +1019,24 @@ def _yens_result(spark: SparkSession, sf_dir: str) -> DataFrame:
             total.unionByName(cur).groupBy("id").agg(F.sum("cnt").alias("cnt")))
     cand = (total.filter(F.col("id") != 0)
             .orderBy(F.desc("cnt"), F.asc("id")).limit(1).collect())
-    target = int(cand[0]["id"]) if cand else int(
-        hops.filter(F.col("id") != 0).agg(F.max("id")).collect()[0][0])
+    if not cand:
+        # the DuckDB oracle (_yens_costs_sql) replicates ONLY the argmax
+        # path-count target; a seed with no <=5-hop path from node 0 would
+        # silently diverge from it, so fail loudly instead of falling back
+        raise ValueError("yens contract query: node 0 has no outgoing "
+                         "<=5-hop paths in events_sub; oracle target "
+                         "choice would diverge")
+    target = int(cand[0]["id"])
     return yens(gw, 0, target, k=3)
 
 
 def q_yens_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Yen's full path objects; rows-only: the node SEQUENCES are
-    tie-ambiguous between equal-cost paths (yens_costs_events_sub carries
-    the oracle-verified cost multiset)."""
+    """Yen's full path objects (paths/yens/Yens.java:39), oracle-checked as
+    node SEQUENCES: _yens_paths_sql enumerates every 0->target path of the
+    DAG with its node array and takes the K smallest by cost. Sequences are
+    unambiguous whenever the top-(K+1) costs are distinct (true for this
+    weight family on the graded data; a boundary tie would surface as a
+    hash mismatch, never a silent wrong answer)."""
     res = _yens_result(spark, sf_dir)
     return res.select(
         "index", "target",
@@ -1048,6 +1094,96 @@ best AS (
 SELECT row_number() OVER (ORDER BY cost) - 1 AS "index",
        round(cost, 6) AS total_cost
 FROM best"""
+
+
+def _yens_paths_sql() -> str:
+    """Oracle for the full path OBJECTS (round-2 verdict #2 -- the lone
+    no_oracle entry): same target choice and exhaustive DAG path
+    enumeration as _yens_costs_sql, but the recursive CTE carries the
+    node-sequence string, and the 3 smallest paths come back as
+    (index, target, total_cost, path)."""
+    cnt_parts = [
+        "c1 AS (SELECT dst AS id, count(*)::BIGINT AS cnt FROM ewd WHERE src = 0 GROUP BY dst)"
+    ]
+    for i in range(2, 6):
+        cnt_parts.append(f"""c{i} AS (
+  SELECT e.dst AS id, sum(c.cnt)::BIGINT AS cnt
+  FROM ewd e JOIN c{i - 1} c ON e.src = c.id GROUP BY e.dst
+)""")
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+ewd AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_edges),
+ew AS MATERIALIZED (
+  SELECT src, dst, (1 + (src * 7 + dst * 13) % 5)::DOUBLE AS w FROM ewd
+),
+{",".join(cnt_parts)},
+tot AS (
+  SELECT id, sum(cnt) AS cnt FROM (
+    SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+    UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5
+  ) GROUP BY id
+),
+tgt AS (SELECT id FROM tot WHERE id <> 0 ORDER BY cnt DESC, id ASC LIMIT 1),
+paths(node, cost, seq) AS (
+  SELECT 0::BIGINT AS node, 0.0::DOUBLE AS cost, '0' AS seq
+  UNION ALL
+  SELECT e.dst, p.cost + e.w, p.seq || '->' || e.dst
+  FROM paths p JOIN ew e ON e.src = p.node
+),
+best AS (
+  SELECT p.cost, p.seq FROM paths p JOIN tgt ON p.node = tgt.id
+  ORDER BY p.cost, p.seq LIMIT 3
+)
+SELECT row_number() OVER (ORDER BY cost, seq) - 1 AS "index",
+       (SELECT id FROM tgt) AS target,
+       round(cost, 6) AS total_cost,
+       seq AS path
+FROM best"""
+
+
+def q_bf_negative_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman-Ford negative-CYCLE streaming (BellmanFord.java:49 emits
+    NegativeCycle path results, not just a taint flag): a deterministic
+    5-node ring built from the region table (edges i -> (i+1) % 5, weight
+    (i % 3) - 2, total -6 < 0). A simple ring has EXACTLY ONE cycle, so the
+    streamed cycle is implementation-independent and DuckDB-verifiable."""
+    from neo4j_graph_data_science_spark.operators.paths import (
+        bellman_ford_negative_cycles,
+    )
+
+    reg = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("id"))
+    edges = reg.select(
+        F.col("id").alias(SRC),
+        F.pmod(F.col("id") + 1, F.lit(5)).alias(DST),
+        (F.pmod(F.col("id"), F.lit(3)) - F.lit(2)).cast("double").alias(W),
+    )
+    g = SparkGraph(nodes=reg, edges=edges)
+    res = bellman_ford_negative_cycles(g, 0)
+    return res.select(
+        "index",
+        F.array_join(F.col("node_ids").cast("array<string>"), "->").alias("cycle"),
+        F.round("total_cost", 6).alias("total_cost"),
+    )
+
+
+def _bf_cycle_sql() -> str:
+    """Oracle: walk the unique region ring once from node 0 (5 hops back to
+    0), emit it as the rotation-normalized cycle string iff its cost is
+    negative."""
+    return """WITH RECURSIVE ring AS (
+  SELECT r_regionkey::BIGINT AS src, ((r_regionkey + 1) % 5)::BIGINT AS dst,
+         ((r_regionkey % 3) - 2)::DOUBLE AS w
+  FROM region
+),
+walk(node, seq, cost, n) AS (
+  SELECT 0::BIGINT AS node, '0' AS seq, 0.0::DOUBLE AS cost, 0 AS n
+  UNION ALL
+  SELECT e.dst, walk.seq || '->' || e.dst, walk.cost + e.w, walk.n + 1
+  FROM walk JOIN ring e ON e.src = walk.node WHERE walk.n < 5
+)
+SELECT 0::BIGINT AS "index", seq AS cycle, round(cost, 6) AS total_cost
+FROM walk WHERE node = 0 AND n = 5 AND cost < 0"""
 
 
 def q_bellman_ford_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,6 +1562,35 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_random_walks_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order p/q-biased walks (traversal/RandomWalk.java:46
+    returnFactor/inOutFactor); rows-only -- the hash-derived picks are a
+    Spark-dialect RNG (walk validity + bias direction are pytest-pinned)."""
+    from neo4j_graph_data_science_spark.operators.embeddings import (
+        RandomWalkConfig, random_walks,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return random_walks(g, RandomWalkConfig(
+        walk_length=5, return_factor=0.25, in_out_factor=4.0,
+    )).select("walk_id", "start", "step", "node")
+
+
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-Descent-backed filtered KNN (similarity/filteredknn/): rows-only
+    (approximate search); recall vs the exact filtered result is
+    pytest-pinned, and the exact path is oracle-checked as
+    filtered_ann_topk."""
+    from neo4j_graph_data_science_spark.operators.ann import filtered_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = filtered_knn(emb, k=5, iterations=3,
+                       source_filter="node % 3 = 0",
+                       target_filter="node % 2 = 1")
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
 # ---- rows-only queries (no SQL-expressible oracle) ------------------------
 
 
@@ -1480,15 +1645,20 @@ def q_transcript_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # abs() before the modulus: Spark's pmod and DuckDB's % disagree on
+    # negative operands (pmod >= 0, % keeps the sign), so the derivation is
+    # pinned to abs(event_id) on BOTH sides rather than relying on the
+    # generator never emitting a negative id.
+    eid = F.abs(F.col("event_id"))
     role = F.element_at(
         F.array(*[F.lit(r) for r in ROLES]),
-        (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int"),
+        (F.pmod(eid, F.lit(4)) + 1).cast("int"),
     )
     tool = F.when(
-        F.pmod(F.col("event_id"), F.lit(3)) == 0,
+        F.pmod(eid, F.lit(3)) == 0,
         F.element_at(
             F.array(*[F.lit(t) for t in TOOLS]),
-            (F.pmod(F.col("event_id"), F.lit(8)) + 1).cast("int"),
+            (F.pmod(eid, F.lit(8)) + 1).cast("int"),
         ),
     ).otherwise(F.lit(None).cast("string"))
     t = (
@@ -1548,8 +1718,8 @@ def _transcript_pr_sql(iters: int = TRANSCRIPT_PR_ITERS) -> str:
     return f"""WITH base AS MATERIALIZED (
   SELECT printf('u%06d', user_id) AS conv_id,
          (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::INT AS turn_idx,
-         {roles}[(event_id % 4) + 1] AS role,
-         CASE WHEN event_id % 3 = 0 THEN {tools}[(event_id % 8) + 1] END AS tool
+         {roles}[(abs(event_id) % 4) + 1] AS role,
+         CASE WHEN abs(event_id) % 3 = 0 THEN {tools}[(abs(event_id) % 8) + 1] END AS tool
   FROM events
 ),
 tv AS MATERIALIZED (
@@ -1835,35 +2005,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # Per-query watchdog: round 1's CORRECTNESS artifact was emptied because one
 # query (Louvain's since-fixed localCheckpoint stats recursion) hung the
 # driver's whole queries() sweep. Every contract callable is wrapped so the
-# heavy work (all iterative operators materialize internally) runs in a
-# worker thread bounded by SPARK_GRAFT_QUERY_TIMEOUT seconds; on expiry we
-# cancel in-flight Spark jobs and raise, so the sweep records ONE failure
-# and moves on instead of wedging forever.
+# heavy work runs in a worker thread bounded by SPARK_GRAFT_QUERY_TIMEOUT
+# seconds. The worker thread tags its Spark jobs with a per-query job group
+# (thread-local under PySpark's pinned-thread mode) and the result is
+# materialized (eager localCheckpoint) INSIDE the guarded thread, so the
+# bound covers collect-time too — a plan that wedges only at the harness's
+# final collect still trips the watchdog here, not there. On expiry a
+# reaper keeps cancelling THAT group (driver-loop queries like Yens submit
+# fresh jobs after each cancel) until the leaked thread dies, so later
+# queries in the sweep are never collateral damage of cancelAllJobs.
 _QUERY_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "600"))
+_guard_seq = itertools.count()
 
 
 def _guarded(fn: Callable[[SparkSession, str], DataFrame]):
     @functools.wraps(fn)
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         box: dict[str, object] = {}
+        group = f"gds-guard-{fn.__name__}-{next(_guard_seq)}"
 
         def run() -> None:
             try:
-                box["df"] = fn(spark, sf_dir)
+                spark.sparkContext.setJobGroup(
+                    group, f"guarded contract query {fn.__name__}",
+                    interruptOnCancel=True)
+                df = fn(spark, sf_dir)
+                # Materialize within the watchdog window. eager=True runs the
+                # plan now; the harness's later collect reads checkpointed
+                # partitions instead of re-running an unbounded plan.
+                box["df"] = df.localCheckpoint(eager=True)
             except BaseException as ex:  # noqa: BLE001 - re-raised below
                 box["ex"] = ex
+            finally:
+                try:
+                    spark.sparkContext.setJobGroup(None, None)
+                except Exception:
+                    pass
 
         t = threading.Thread(target=run, daemon=True, name=f"q:{fn.__name__}")
         t.start()
         t.join(_QUERY_TIMEOUT_S)
         if t.is_alive():
-            try:
-                spark.sparkContext.cancelAllJobs()
-            except Exception:
-                pass
+            def reap() -> None:
+                # cancelJobGroup is one-shot; a leaked driver loop can submit
+                # new jobs right after. Re-cancel every 5 s until the worker
+                # exits (bounded: interruptOnCancel interrupts its task
+                # threads, so each fresh job dies within one reap tick).
+                while t.is_alive():
+                    try:
+                        spark.sparkContext.cancelJobGroup(group)
+                    except Exception:
+                        return
+                    t.join(5.0)
+
+            threading.Thread(target=reap, daemon=True,
+                             name=f"reap:{fn.__name__}").start()
             raise TimeoutError(
                 f"{fn.__name__} exceeded the {_QUERY_TIMEOUT_S:.0f}s per-query "
-                "watchdog (SPARK_GRAFT_QUERY_TIMEOUT); in-flight jobs cancelled"
+                f"watchdog (SPARK_GRAFT_QUERY_TIMEOUT); job group {group} "
+                "cancelled (and re-cancelled until its thread exits)"
             )
         if "ex" in box:
             raise box["ex"]  # type: ignore[misc]
@@ -1880,6 +2080,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_events": q_degree,
         "pagerank_events": q_pagerank,
+        "pagerank_scaled_events": q_pagerank_scaled,
+        "bf_negative_cycle_ring": q_bf_negative_cycle,
+        "filtered_ann_topk": q_filtered_ann_topk,
         "wcc_events": q_wcc,
         "wcc_stats": q_wcc_stats,
         "wcc_stats_full": q_wcc_stats_full,
@@ -1954,6 +2157,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastrp_events_sub": q_fastrp,
         "random_walks_events_sub": q_random_walks,
         "ann_lsh_topk": q_ann_lsh,
+        "random_walks_biased_events_sub": q_random_walks_biased,
+        "filtered_knn_embeddings": q_filtered_knn,
         "simhash_docs": q_simhash,
         "simhash_md5_docs": q_simhash_md5,
         "minhash_lsh_fast": q_minhash_lsh_fast,
@@ -1980,8 +2185,11 @@ FROM nodes n LEFT JOIN (
   SELECT src AS id, count(*)::DOUBLE AS score FROM raw_edges GROUP BY src
 ) d ON n.id = d.id ORDER BY n.id""",
         "pagerank_events": _pagerank_sql(),
+        "pagerank_scaled_events": _pagerank_sql(scaled=True),
         "transcript_pagerank_events": _transcript_pr_sql(),
         "yens_costs_events_sub": _yens_costs_sql(),
+        "yens_paths_events_sub": _yens_paths_sql(),
+        "bf_negative_cycle_ring": _bf_cycle_sql(),
         "wcc_events": f"""{_WCC_CLOSURE}
 SELECT id, component FROM comp ORDER BY id""",
         "wcc_stats": f"""{_WCC_CLOSURE},
@@ -2256,6 +2464,30 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
   FROM scored
 ) WHERE rn <= 10 ORDER BY query_id, neighbor_id""",
+        "filtered_ann_topk": """WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 25 AND vec_id % 3 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id % 2 = 1
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+         sum(qv[i] * cv[i]) AS dp,
+         sum(qv[i] * qv[i]) AS na,
+         sum(cv[i] * cv[i]) AS nb
+  FROM q, c, unnest(generate_series(1, 64)) t(i)
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, dp / (sqrt(na) * sqrt(nb)) AS cosine FROM dots
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
         "cosine_near_dup": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
