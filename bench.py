@@ -4,10 +4,18 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "extras": {...}}
 
-The extras record the north-star metric (edges processed per second per
-PageRank superstep) and the per-superstep wall times, so scaling-efficiency
-runs (tools/bench_scaling.py, local[8] vs local[32]) can compare
-throughput at two parallelism levels on the same input.
+Noise defence (round-2 verdict item #2: a single contended run recorded a
+false regression): every query is timed best-of-$SPARK_GRAFT_BENCH_REPS
+(default 3) runs, so the first run doubles as warm-up and a one-shot
+scheduler hiccup cannot be recorded as the number. `value` is the sum of
+the per-query BEST times.
+
+Scaling evidence (BASELINE.json north rule: throughput scaling efficiency
+>=0.8 from N to 4N executors; no real cluster in this sandbox): unless
+SPARK_GRAFT_SCALING=0, the harness ends by running the SAME fixed-superstep
+PageRank job at local[N] and local[4N] (N = cpus/4) on the same input and
+reports edges/s/superstep at both plus the efficiency in extras, so every
+round's BENCH artifact carries the two-parallelism measurement.
 """
 
 from __future__ import annotations
@@ -37,6 +45,31 @@ from neo4j_graph_data_science_spark.sources.tables import (  # noqa: E402
 )
 import __spark_entry__ as entrymod  # noqa: E402
 
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def _scaling_leg(sf_dir: str, cpus: int, supersteps: int = 12,
+                 reps: int = 2) -> dict[str, float]:
+    """One parallelism level of the north-rule scaling measurement: a fresh
+    local[cpus] session, PageRank pinned to a fixed superstep count
+    (tolerance=0 -> no early exit, so both legs do identical work), best of
+    `reps` runs. Returns wall + edges/s/superstep."""
+    spark = get_spark(f"gds_spark_scale_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    g = events_graph(spark, sf_dir)
+    n_edges = g.edges.count()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        res = page_rank(g, PageRankConfig(max_iterations=supersteps,
+                                          tolerance=0.0, check_every=3))
+        res.state.count()
+        best = min(best, time.time() - t0)
+    spark.stop()
+    return {"cpus": cpus, "wall_s": round(best, 3),
+            "edges": n_edges, "supersteps": supersteps,
+            "edges_per_sec_per_superstep": round(n_edges * supersteps / best, 1)}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,33 +79,42 @@ def main() -> None:
                       shuffle_partitions=cpus)
 
     timings: dict[str, float] = {}
-    extras: dict[str, object] = {"cpus": cpus}
+    extras: dict[str, object] = {"cpus": cpus, "reps": REPS,
+                                 "timing": f"best-of-{REPS}"}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    def timed(name, fn, reps=REPS):
+        best, out = float("inf"), None
+        for i in range(reps):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            print(f"  bench {name} run {i + 1}/{reps}: {dt:.3f}s",
+                  file=sys.stderr, flush=True)
+            best = min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # --- north-star: PageRank to convergence over the event link graph ----
     g = events_graph(spark, sf_dir)
     n_edges = g.edges.count()
-    t0 = time.time()
-    # run to actual 1e-6 convergence (north-star metric is convergence-
-    # gated; round 1 mislabeled an iteration-capped run)
-    # check_every=3 batches 3 supersteps per Spark job (plans/pregel.py):
-    # fixed per-job costs dominate at this scale; results stay within the
-    # 1e-6 tolerance (convergence detection delayed <3 supersteps)
-    res = page_rank(g, PageRankConfig(max_iterations=100, tolerance=1e-6,
-                                      check_every=3))
-    res.state.count()
-    pr_wall = time.time() - t0
-    timings["pagerank_events"] = round(pr_wall, 3)
+    pr_box: dict[str, object] = {}
+
+    def run_pr():
+        # run to actual 1e-6 convergence (north-star metric is convergence-
+        # gated). check_every=3 batches 3 supersteps per Spark job
+        # (plans/pregel.py): fixed per-job costs dominate at this scale.
+        res = page_rank(g, PageRankConfig(max_iterations=100, tolerance=1e-6,
+                                          check_every=3))
+        res.state.count()
+        pr_box["res"] = res
+
+    timed("pagerank_events", run_pr)
+    res = pr_box["res"]
     supersteps = max(res.iterations, 1)
     extras["edges"] = n_edges
     extras["pagerank_supersteps"] = supersteps
-    extras["edges_per_sec_per_superstep"] = round(n_edges * supersteps / pr_wall, 1)
+    extras["edges_per_sec_per_superstep"] = round(
+        n_edges * supersteps / timings["pagerank_events"], 1)
     extras["pagerank_converged"] = res.converged
 
     timed("wcc_events", lambda: wcc(g, WccConfig()).state.count())
@@ -103,6 +145,25 @@ def main() -> None:
           lambda: cosine_near_duplicates(emb, threshold=0.9, method="lsh").count())
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
+
+    # --- north-rule two-parallelism scaling measurement -------------------
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        n_small = max(2, cpus // 4)
+        legs = [_scaling_leg(sf_dir, n_small), _scaling_leg(sf_dir, cpus)]
+        tp = [leg["edges_per_sec_per_superstep"] for leg in legs]
+        ratio = legs[1]["cpus"] / legs[0]["cpus"]
+        extras["scaling"] = {
+            "legs": legs,
+            "core_ratio": ratio,
+            "throughput_ratio": round(tp[1] / tp[0], 3),
+            "efficiency": round(tp[1] / tp[0] / ratio, 3),
+        }
+        print(f"  scaling: {legs[0]['cpus']}c {tp[0]:.0f} e/s/ss -> "
+              f"{legs[1]['cpus']}c {tp[1]:.0f} e/s/ss, "
+              f"eff {extras['scaling']['efficiency']}",
+              file=sys.stderr, flush=True)
+
     print(json.dumps({
         "metric": "headline-suite wall time (pagerank/wcc/lpa/triangles/dedup/ann/text)",
         "value": total,
@@ -111,7 +172,6 @@ def main() -> None:
         "sf": sf,
         "extras": extras,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":
