@@ -608,6 +608,57 @@ def q_steiner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree.select("src", "dst", F.round("weight", 6).alias("weight"))
 
 
+def _steiner_sql(terminals: tuple[int, ...] = (3, 5, 7)) -> str:
+    """Oracle for the shortest-path Steiner heuristic
+    (steiner/ShortestPathsSteinerAlgorithm.java:40): every event edge has
+    weight 1, so each round is (a) a recursive hop-distance closure from
+    the current tree set, (b) argmin (dist, id) over the remaining
+    terminals, (c) the deterministic min-tight-in-neighbor pred chain
+    walked back to a dist-0 node (tree nodes have no tight in-edge at
+    dist 0, so the recursion stops there by construction) -- exactly the
+    Spark operator's pick/backtrack rules, unrolled once per terminal."""
+    rounds = []
+    prev_tree = "t0"
+    picked_filter = ""
+    ces = []
+    for r, _ in enumerate(terminals, start=1):
+        rounds.append(f"""w{r}(node, d) AS (
+  SELECT id, 0 FROM {prev_tree}
+  UNION
+  SELECT e.dst, w{r}.d + 1 FROM w{r} JOIN ed e ON e.src = w{r}.node WHERE w{r}.d < 32
+),
+d{r} AS (SELECT node AS id, min(d) AS dist FROM w{r} GROUP BY node),
+pick{r} AS (
+  SELECT d.id FROM d{r} d JOIN term t ON d.id = t.id{picked_filter}
+  ORDER BY d.dist ASC, d.id ASC LIMIT 1
+),
+p{r} AS (
+  SELECT e.dst AS id, min(e.src) AS pred
+  FROM ed e JOIN d{r} a ON a.id = e.src JOIN d{r} b ON b.id = e.dst
+  WHERE a.dist + 1 = b.dist GROUP BY e.dst
+),
+c{r}(cur) AS (
+  SELECT id FROM pick{r}
+  UNION
+  SELECT p.pred FROM c{r} JOIN p{r} p ON p.id = c{r}.cur
+),
+ce{r} AS (SELECT p.pred AS src, p.id AS dst FROM p{r} p JOIN c{r} ON c{r}.cur = p.id),
+t{r}(id) AS (
+  SELECT id FROM {prev_tree} UNION SELECT src FROM ce{r} UNION SELECT dst FROM ce{r}
+)""")
+        picked_filter += f"\n    AND d.id NOT IN (SELECT id FROM pick{r})"
+        prev_tree = f"t{r}"
+        ces.append(f"SELECT src, dst FROM ce{r}")
+    terms = ", ".join(f"({t}::BIGINT)" for t in terminals)
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_edges),
+term(id) AS (VALUES {terms}),
+t0(id) AS (VALUES (0::BIGINT)),
+{",".join(rounds)}
+SELECT DISTINCT src, dst, 1.0 AS weight FROM ({" UNION ALL ".join(ces)})"""
+
+
 def q_prize_steiner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prize-collecting Steiner tree (pricesteiner/PCSTFast.java:40) on the
     SCC subgraph with deterministic hash weights and prizes: rows-only
@@ -2236,6 +2287,7 @@ FROM nodes n LEFT JOIN (
         "yens_paths_events_sub": _yens_paths_sql(),
         "bf_negative_cycle_ring": _bf_cycle_sql(),
         "celf_p1_events_sub": _celf_p1_sql(),
+        "steiner_events_sub": _steiner_sql(),
         "wcc_events": f"""{_WCC_CLOSURE}
 SELECT id, component FROM comp ORDER BY id""",
         "wcc_stats": f"""{_WCC_CLOSURE},
