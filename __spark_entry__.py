@@ -1405,6 +1405,38 @@ def q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs(g, 0)
 
 
+def _dfs_sql() -> str:
+    """Oracle: exact sequential simulation of the DFS preorder walker
+    (paths/traverse/DFS.java:32; operators/paths.py dfs) as a single-row
+    recursive CTE carrying (stack, visited, preorder) list state -- one
+    recursion step per stack pop, neighbors pushed in descending id order
+    so pops come out ascending, exactly the operator's rules. The stack
+    top is the LAST list element; push-time filtering uses the visited
+    set including the node just visited, mirroring the Python."""
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_edges),
+adjt AS MATERIALIZED (SELECT src, list(dst ORDER BY dst DESC) AS nbrs FROM ed GROUP BY src),
+step(stack, visited, vord) AS (
+  SELECT [0::BIGINT], CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT
+    CASE WHEN list_contains(s.visited, s.stack[-1]) THEN s.stack[1:len(s.stack)-1]
+         ELSE s.stack[1:len(s.stack)-1] ||
+              list_filter(coalesce(a.nbrs, CAST([] AS BIGINT[])),
+                          x -> NOT list_contains(list_append(s.visited, s.stack[-1]), x))
+    END,
+    CASE WHEN list_contains(s.visited, s.stack[-1]) THEN s.visited
+         ELSE list_append(s.visited, s.stack[-1]) END,
+    CASE WHEN list_contains(s.visited, s.stack[-1]) THEN s.vord
+         ELSE list_append(s.vord, s.stack[-1]) END
+  FROM step s LEFT JOIN adjt a ON a.src = s.stack[-1]
+  WHERE len(s.stack) > 0
+),
+fin AS (SELECT vord FROM step WHERE len(stack) = 0)
+SELECT unnest(vord) AS id, unnest(range(len(vord))) AS visit_order FROM fin"""
+
+
 def _dag_longest_sql() -> str:
     """Oracle: recursive longest-dist enumeration (bounded by DAG depth),
     deterministic argmax predecessor, pred-chain walk."""
@@ -2288,6 +2320,7 @@ FROM nodes n LEFT JOIN (
         "bf_negative_cycle_ring": _bf_cycle_sql(),
         "celf_p1_events_sub": _celf_p1_sql(),
         "steiner_events_sub": _steiner_sql(),
+        "dfs_events_sub": _dfs_sql(),
         "wcc_events": f"""{_WCC_CLOSURE}
 SELECT id, component FROM comp ORDER BY id""",
         "wcc_stats": f"""{_WCC_CLOSURE},
