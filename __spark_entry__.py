@@ -700,6 +700,62 @@ def q_hashgnn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("features"))
 
 
+def q_hashgnn_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashGNN in md5 hash mode (embeddings/hashgnn/HashGNN.java:47): init
+    features and every min-hash selection key are 60-bit md5-prefix ints,
+    so the complete binary embedding -- 2 message-passing rounds, K=16
+    selection slots -- is value-exactly replicable in DuckDB. Output
+    exploded to (id, f) active-feature rows."""
+    from neo4j_graph_data_science_spark.operators.embeddings import (
+        HashGNNConfig, hashgnn,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    emb = hashgnn(g, HashGNNConfig(embedding_density=16, iterations=2,
+                                   hash_mode="md5"))
+    return emb.select("id", F.explode("embedding").alias("f"))
+
+
+def _hashgnn_md5_sql(iterations: int = 2, K: int = 16, feature_dim: int = 64,
+                     init_density: int = 4, seed: int = 42) -> str:
+    """Oracle: exact replay of hashgnn(md5) -- md5-derived init features,
+    per-round min-key selection per (node, slot) over own plus undirected
+    neighbor candidates (key = (md5int % M + 0.5)/M; neighbor keys use the
+    37x seed stream, neighbor_influence = 1), distinct features per round."""
+    M = 1_000_000_007
+    md5i = lambda expr: f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+    parts = [f"""f0 AS MATERIALIZED (
+  SELECT DISTINCT n.id,
+         {md5i(f"n.id::VARCHAR || ':' || j.j::VARCHAR || ':{seed}'")} % {feature_dim} AS f
+  FROM nodes n CROSS JOIN (SELECT unnest(range({init_density})) AS j) j
+)""", f"""ks AS (SELECT unnest(range({K})) AS k)"""]
+    for it in range(iterations):
+        own_key = md5i(f"f.f::VARCHAR || ':' || ks.k::VARCHAR || ':{seed * 31 + it}'")
+        nbr_key = md5i(f"f.f::VARCHAR || ':' || ks.k::VARCHAR || ':{seed * 37 + it}'")
+        parts.append(f"""f{it + 1} AS MATERIALIZED (
+  SELECT DISTINCT id, f FROM (
+    SELECT id, k, arg_min(f, key) AS f FROM (
+      SELECT f.id, ks.k, f.f,
+             ({own_key} % {M} + 0.5) / {M}.0 AS key
+      FROM f{it} f CROSS JOIN ks
+      UNION ALL
+      SELECT e.dst AS id, ks.k, f.f,
+             ({nbr_key} % {M} + 0.5) / {M}.0 AS key
+      FROM ed e JOIN f{it} f ON f.id = e.src CROSS JOIN ks
+    ) GROUP BY id, k
+  )
+)""")
+    return f"""WITH {_SCC_SUB},
+{_ev_ctes("events_sub")},
+ed AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw_edges
+    UNION ALL SELECT dst AS src, src AS dst FROM raw_edges)
+),
+{', '.join(parts)}
+SELECT id, f FROM f{iterations} ORDER BY id, f"""
+
+
 def q_cnarw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.sources.generator import (
         CnarwSampleConfig, cnarw_sample,
@@ -1039,6 +1095,52 @@ WHERE w.cur = 0
 ORDER BY w.target"""
 
 
+def q_delta_stepping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-stepping SSSP distances from node 0 (paths/delta/
+    DeltaStepping.java:51) on the SCC event subgraph with the same
+    deterministic weight family as the Dijkstra contract query. The
+    light/heavy bucket scheduler must settle to exactly the Dijkstra
+    distance fixpoint, so the Dijkstra distance oracle applies verbatim."""
+    from neo4j_graph_data_science_spark.operators.paths import delta_stepping
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    weighted = g.edges.withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(5)))
+        .cast("double"),
+    )
+    gw = SparkGraph(nodes=g.nodes, edges=weighted)
+    res = delta_stepping(gw, 0, delta=2.0)
+    return res.select("id", F.round("dist", 6).alias("dist"))
+
+
+def _delta_stepping_sql(levels: int = 24) -> str:
+    """Oracle: the Dijkstra unrolled distance fixpoint (same deterministic
+    weight family), distances only -- no pred-chain walk."""
+    inf = "1e18"
+    ctes = [f"""ew AS MATERIALIZED (
+  SELECT src, dst, MIN(1 + (src * 7 + dst * 13) % 5)::DOUBLE AS w
+  FROM raw_edges GROUP BY src, dst
+)""", f"""d0 AS (
+  SELECT id, CASE WHEN id = 0 THEN 0.0 ELSE {inf} END AS dist FROM nodes
+)"""]
+    prev = "d0"
+    for i in range(1, levels + 1):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+  SELECT n.id, LEAST(n.dist, COALESCE(m.cand, {inf})) AS dist
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS id, MIN(u.dist + e.w) AS cand
+    FROM ew e JOIN {prev} u ON e.src = u.id WHERE u.dist < {inf}
+    GROUP BY e.dst
+  ) m ON n.id = m.id
+)""")
+        prev = f"d{i}"
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+{', '.join(ctes)}
+SELECT id, ROUND(dist, 6) AS dist FROM {prev} WHERE dist < {inf} ORDER BY id"""
+
+
 def q_astar_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A* (paths/astar/AStar.java:36) from node 0 to the farthest-id
     reachable node, with a REAL admissible heuristic: h(v) = hop-count of
@@ -1326,7 +1428,8 @@ FROM {prev} WHERE dist < {inf} ORDER BY id"""
 
 def q_clique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node 3- and 4-clique counts on the 120-bucket contracted part
-    co-occurrence graph (same graph as the betweenness query)."""
+    co-occurrence graph (betweenness query's graph, deterministically
+    edge-thinned ~1/2 to keep 4-clique enumeration watchdog-safe)."""
     from neo4j_graph_data_science_spark.catalog import SparkGraph
     from neo4j_graph_data_science_spark.operators.cliques import (
         CliqueCountingConfig, clique_counting,
@@ -1344,6 +1447,11 @@ def q_clique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ua") != F.col("ub"))
         .select(F.least("ua", "ub").alias("src"), F.greatest("ua", "ub").alias("dst"))
         .distinct()
+        # deterministic ~1/2 edge thinning: the un-thinned contracted graph
+        # is near-complete, and 4-clique work scales ~density^6 -- the
+        # full-density variant measured ~250 s at sf0.01/8 cores, which can
+        # breach the driver's per-query watchdog on a contended host
+        .filter(F.pmod(F.col("src") * 31 + F.col("dst") * 17, F.lit(2)) == 0)
         .select("src", "dst", F.lit("COOCCUR").alias("rel_type"), F.lit(1.0).alias("weight"))
     )
     g = SparkGraph(nodes=spark.range(k).select("id"), edges=pairs)
@@ -1351,13 +1459,16 @@ def q_clique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_node.select("id", "k", "count")
 
 
-_CLIQUE_SQL = """WITH pairs AS MATERIALIZED (
+_CLIQUE_SQL = """WITH pairs0 AS (
   SELECT LEAST(a.l_partkey % 120, b.l_partkey % 120) AS u,
          GREATEST(a.l_partkey % 120, b.l_partkey % 120) AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   WHERE a.l_partkey % 120 <> b.l_partkey % 120
   GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT u, v FROM pairs0 WHERE (u * 31 + v * 17) % 2 = 0
 ),
 tri AS MATERIALIZED (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -1673,6 +1784,69 @@ def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fastrp_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastRP in md5 hash mode (embeddings/fastrp/FastRP.java:55): every
+    source of randomness is a pure hash of (id, dim, seed), so the WHOLE
+    embedding -- sparse init, two rounds of undirected neighbor averaging,
+    per-round L2 normalization, weighted accumulation -- is value-exactly
+    replicable in DuckDB SQL. Output exploded to (id, pos, x) scalars."""
+    from neo4j_graph_data_science_spark.operators.embeddings import (
+        FastRPConfig, fast_rp,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    emb = fast_rp(g, FastRPConfig(embedding_dim=8, hash_mode="md5"))
+    return emb.select(
+        "id", F.posexplode("embedding").alias("pos", "x")
+    ).select("id", "pos", F.round("x", 6).alias("x"))
+
+
+def _fastrp_md5_sql() -> str:
+    """Oracle: exact replay of fast_rp(md5 mode, dim=8, weights [0,1,1]) as
+    relational (id, pos, x) state: md5-derived sparse init, L2 window
+    normalization, two rounds of undirected in-neighbor cell averages
+    (missing -> 0 vector), final sum of the two normalized rounds."""
+    norm = lambda src, out: f"""{out} AS MATERIALIZED (
+  SELECT id, pos, CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS x
+  FROM (SELECT id, pos, x, sqrt(sum(x * x) OVER (PARTITION BY id)) AS nrm
+        FROM {src})
+)"""
+    mean = lambda src, out: f"""{out} AS MATERIALIZED (
+  SELECT n.id, d.pos, coalesce(m.avg_x, 0.0) AS x
+  FROM nodes n CROSS JOIN dims d
+  LEFT JOIN (
+    SELECT e.dst AS id, s.pos, avg(s.x) AS avg_x
+    FROM ed e JOIN {src} s ON s.id = e.src
+    GROUP BY e.dst, s.pos
+  ) m ON m.id = n.id AND m.pos = d.pos
+)"""
+    return f"""WITH {_SCC_SUB},
+{_ev_ctes("events_sub")},
+ed AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw_edges
+    UNION ALL SELECT dst AS src, src AS dst FROM raw_edges)
+),
+dims AS (SELECT unnest(range(8)) AS pos),
+r0 AS (
+  SELECT id, pos,
+         CASE hv WHEN 0 THEN sqrt(3.0) WHEN 1 THEN -sqrt(3.0) ELSE 0.0 END AS x
+  FROM (
+    SELECT n.id, d.pos,
+           ('0x' || substr(md5(n.id::VARCHAR || ':' || d.pos::VARCHAR || ':42'),
+                           1, 15))::BIGINT % 6 AS hv
+    FROM nodes n CROSS JOIN dims d)
+),
+{norm("r0", "n0")},
+{mean("n0", "m1")},
+{norm("m1", "n1")},
+{mean("n1", "m2")},
+{norm("m2", "n2")}
+SELECT a.id, a.pos, round(a.x + b.x, 6) AS x
+FROM n1 a JOIN n2 b ON a.id = b.id AND a.pos = b.pos
+ORDER BY a.id, a.pos"""
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.operators.embeddings import (
         RandomWalkConfig, random_walks,
@@ -1682,6 +1856,47 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(g, RandomWalkConfig(walk_length=5)).select(
         "walk_id", "start", "step", "node"
     )
+
+
+def q_random_walks_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform random walks in md5 hash mode (traversal/RandomWalk.java:46):
+    each step's pick is argmin over out-neighbors of a 60-bit md5-prefix
+    integer of (walk_id, step, candidate, seed), so the complete walk
+    SEQUENCES are value-exactly replicable in DuckDB."""
+    from neo4j_graph_data_science_spark.operators.embeddings import (
+        RandomWalkConfig, random_walks,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return random_walks(g, RandomWalkConfig(
+        walk_length=5, hash_mode="md5",
+    )).select("walk_id", "start", "step", "node")
+
+
+def _random_walks_md5_sql(walk_length: int = 5, seed: int = 42) -> str:
+    """Oracle: unrolled per-step argmin replay of the md5-mode walk --
+    step t frontier joins the distinct edge set, h = 60-bit md5 prefix of
+    'walk_id:t:dst:seed', next node = arg_min(dst, h) per walk; walks stop
+    at sinks (inner join drops them). walks_per_node=1 => walk_id = start."""
+    parts = ["""w0 AS MATERIALIZED (
+  SELECT id AS walk_id, id AS start, id AS cur FROM nodes
+)"""]
+    rows = ["SELECT walk_id, start, 0 AS step, cur AS node FROM w0"]
+    for t in range(1, walk_length):
+        parts.append(f"""w{t} AS MATERIALIZED (
+  SELECT walk_id, start, arg_min(dst, h) AS cur FROM (
+    SELECT f.walk_id, f.start, e.dst,
+           ('0x' || substr(md5(f.walk_id::VARCHAR || ':{t}:' || e.dst::VARCHAR
+                               || ':{seed}'), 1, 15))::BIGINT AS h
+    FROM w{t - 1} f JOIN ed e ON e.src = f.cur)
+  GROUP BY walk_id, start
+)""")
+        rows.append(f"SELECT walk_id, start, {t} AS step, cur AS node FROM w{t}")
+    return f"""WITH {_SCC_SUB},
+{_ev_ctes("events_sub")},
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_edges),
+{', '.join(parts)}
+{' UNION ALL '.join(rows)}"""
 
 
 def q_random_walks_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2229,6 +2444,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans,
         "bellman_ford_neg_events_sub": q_bellman_ford_neg,
         "hashgnn_events_sub": q_hashgnn,
+        "hashgnn_md5_events_sub": q_hashgnn_md5,
         "minhash_lsh_docs": q_minhash_lsh,
         "kcore_events_sub": q_kcore,
         "dag_longest_events_sub": q_dag_longest,
@@ -2241,8 +2457,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_biased_events_sub": q_random_walks_biased,
         "k1coloring_events": q_k1coloring,
         "fastrp_events_sub": q_fastrp,
+        "fastrp_md5_events_sub": q_fastrp_md5,
         "triangles_global": q_triangles_global,
         "random_walks_events_sub": q_random_walks,
+        "random_walks_md5_events_sub": q_random_walks_md5,
         "node_similarity_topn": q_node_similarity_topn,
         "celf_p1_events_sub": q_celf_p1,
         "harmonic_events_sub": q_harmonic,
@@ -2255,6 +2473,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanning_tree_events_sub": q_spanning_tree,
         "transcript_pagerank_events": q_transcript_pagerank_events,
         "dijkstra_paths_events_sub": q_dijkstra_paths,
+        "delta_stepping_events_sub": q_delta_stepping,
         "cnarw_sample_events_sub": q_cnarw,
         "celf_events_sub": q_celf,
         "cosine_near_dup": q_cosine_near_dup,
@@ -2728,6 +2947,10 @@ FROM votes GROUP BY doc_id ORDER BY doc_id""",
         "indirect_exposure_events_sub": _indirect_exposure_sql(),
         "triangle_stream_events": _triangle_stream_sql(),
         "dijkstra_paths_events_sub": _dijkstra_sql(),
+        "delta_stepping_events_sub": _delta_stepping_sql(),
+        "fastrp_md5_events_sub": _fastrp_md5_sql(),
+        "random_walks_md5_events_sub": _random_walks_md5_sql(),
+        "hashgnn_md5_events_sub": _hashgnn_md5_sql(),
         "astar_paths_events_sub": _astar_sql(),
         "bellman_ford_neg_events_sub": _bellman_ford_neg_sql(),
         "dag_longest_events_sub": _dag_longest_sql(),

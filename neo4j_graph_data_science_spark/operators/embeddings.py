@@ -41,15 +41,32 @@ class FastRPConfig:
     normalization_strength: float = 0.0
     seed: int = 42
     partitions: int | None = None
+    # "xxhash64" (default, int64 JVM hash -- the fast/scale path) or "md5"
+    # (60-bit int from the md5 hex prefix; byte-identical in any engine with
+    # a standard md5, which makes the whole embedding DuckDB-verifiable --
+    # same parity trick as dedup.minhash_signatures / simhash).
+    hash_mode: str = "xxhash64"
 
 
-def _sparse_init(nodes: DataFrame, dim: int, seed: int) -> DataFrame:
+def _sparse_init(nodes: DataFrame, dim: int, seed: int,
+                 hash_mode: str = "xxhash64") -> DataFrame:
     """(id, vec): very sparse random projection row per node, hash-derived.
     P(+sqrt(3)) = P(-sqrt(3)) = 1/6, else 0 (s = 3)."""
     s = 3.0
     val = 3.0 ** 0.5
     dims = F.sequence(F.lit(0), F.lit(dim - 1))
-    h = lambda d: F.pmod(F.xxhash64(F.col("id"), d, F.lit(seed)), F.lit(int(2 * s)))
+    if hash_mode == "md5":
+        h = lambda d: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        ":", F.col("id").cast("string"), d.cast("string"),
+                        F.lit(str(seed)))),
+                    1, 15),
+                16, 10).cast("long"),
+            F.lit(int(2 * s)))
+    else:
+        h = lambda d: F.pmod(F.xxhash64(F.col("id"), d, F.lit(seed)), F.lit(int(2 * s)))
     vec = F.transform(
         dims,
         lambda d: F.when(h(d) == 0, F.lit(val))
@@ -78,7 +95,7 @@ def fast_rp(graph: SparkGraph, config: FastRPConfig | None = None) -> DataFrame:
         cfg.partitions,
     )
     nodes = graph.nodes.select("id")
-    init = _sparse_init(nodes, cfg.embedding_dim, cfg.seed)
+    init = _sparse_init(nodes, cfg.embedding_dim, cfg.seed, cfg.hash_mode)
     if cfg.normalization_strength != 0.0:
         # degree^normalizationStrength scaling of the initial random
         # vectors (FastRP.java:339-342; degree 0 -> scale 1)
@@ -156,6 +173,11 @@ class RandomWalkConfig:
     # prev-adjacency join).
     return_factor: float = 1.0    # p
     in_out_factor: float = 1.0    # q
+    # "xxhash64" (default) or "md5": md5 mode derives the per-step pick from
+    # a 60-bit md5-prefix integer, byte-identical in any engine with a
+    # standard md5, so the full walk SEQUENCES are DuckDB-verifiable.
+    # Uniform (p=q=1) walks only -- the biased path keeps xxhash64.
+    hash_mode: str = "xxhash64"
 
 
 def random_walks(graph: SparkGraph, config: RandomWalkConfig | None = None) -> DataFrame:
@@ -188,12 +210,19 @@ def random_walks(graph: SparkGraph, config: RandomWalkConfig | None = None) -> D
                           F.col("cur").alias("node"))]
     frontier = walks
     for step in range(1, cfg.walk_length):
+        if cfg.hash_mode == "md5":
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        ":", F.col("walk_id").cast("string"), F.lit(str(step)),
+                        F.col(DST).cast("string"), F.lit(str(cfg.seed)))),
+                    1, 15),
+                16, 10).cast("long")
+        else:
+            h = F.xxhash64(F.col("walk_id"), F.lit(step), F.col(DST), F.lit(cfg.seed))
         nxt = (
             edges.join(frontier.withColumnRenamed("cur", SRC), SRC)
-            .withColumn(
-                "_h",
-                F.xxhash64(F.col("walk_id"), F.lit(step), F.col(DST), F.lit(cfg.seed)),
-            )
+            .withColumn("_h", h)
         )
         if biased:
             # candidate x with previous node t: weight 1/p if x==t; 1 if
@@ -289,6 +318,10 @@ class HashGNNConfig:
     init_density: int = 4         # active features per node at init
     neighbor_influence: float = 1.0
     seed: int = 42
+    # "xxhash64" (default) or "md5" (60-bit md5-prefix ints everywhere the
+    # xxhash64 family is used; byte-identical across engines => the full
+    # binary embedding is DuckDB-verifiable, like FastRP/minhash md5 modes).
+    hash_mode: str = "xxhash64"
 
 
 def hashgnn(graph: SparkGraph, config: HashGNNConfig | None = None,
@@ -309,13 +342,23 @@ def hashgnn(graph: SparkGraph, config: HashGNNConfig | None = None,
     default init hashes each node into `init_density` of `feature_dim` bits.
     """
     cfg = config or HashGNNConfig()
+    if cfg.hash_mode == "md5":
+        h64 = lambda *cols: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", *[c.cast("string") if hasattr(c, "cast")
+                                         else F.col(c).cast("string")
+                                         for c in cols])),
+                1, 15),
+            16, 10).cast("long")
+    else:
+        h64 = F.xxhash64
     if features is None:
         feats = graph.nodes.select(
             "id",
             F.explode(F.sequence(F.lit(0), F.lit(cfg.init_density - 1))).alias("_j"),
         ).select(
             "id",
-            F.pmod(F.xxhash64("id", "_j", F.lit(cfg.seed)),
+            F.pmod(h64("id", "_j", F.lit(cfg.seed)),
                    F.lit(cfg.feature_dim)).alias("f"),
         ).distinct()
     else:
@@ -325,7 +368,7 @@ def hashgnn(graph: SparkGraph, config: HashGNNConfig | None = None,
         .distinct().localCheckpoint(eager=True)
 
     def ukey(*cols):
-        return (F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007)).cast("double")
+        return (F.pmod(h64(*cols), F.lit(1_000_000_007)).cast("double")
                 + 0.5) / 1_000_000_007.0
 
     ks = F.explode(F.sequence(F.lit(0), F.lit(cfg.embedding_density - 1))).alias("k")

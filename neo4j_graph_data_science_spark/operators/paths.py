@@ -541,11 +541,20 @@ def delta_stepping(graph: SparkGraph, source: int, delta: float = 2.0,
         (F.col("id") == source).alias("changed"),
     ).localCheckpoint(eager=True)
 
-    def relax(st: DataFrame, edge_df: DataFrame, in_bucket) -> DataFrame:
+    def relax(st: DataFrame, edge_df: DataFrame, in_bucket,
+              pending_only: bool = True) -> DataFrame:
         # `changed` is the PENDING (unsettled) set, not a per-round flag:
         # nodes outside the processed bucket keep their pending mark, nodes
-        # inside it stay pending only if this relaxation improved them again
-        frontier = st.filter(F.col("changed") & (F.col("dist") != INF) & in_bucket)
+        # inside it stay pending only if this relaxation improved them again.
+        # The HEAVY pass sets pending_only=False: by the time the light loop
+        # has emptied bucket b every settled member is un-pending, but their
+        # heavy edges still must relax exactly once (DeltaStepping.java's
+        # relaxHeavyEdges over the emptied bucket); heavy targets land in
+        # buckets > b (w > delta), so this cannot re-open bucket b.
+        cond = (F.col("dist") != INF) & in_bucket
+        if pending_only:
+            cond = F.col("changed") & cond
+        frontier = st.filter(cond)
         cands = (
             edge_df.join(frontier.select(F.col("id").alias(SRC),
                                          F.col("dist").alias("_sd")), SRC)
@@ -580,7 +589,8 @@ def delta_stepping(graph: SparkGraph, source: int, delta: float = 2.0,
             state = new_state
             if still:
                 break
-        state = relax(state, heavy, F.floor(F.col("dist") / delta) == b)
+        state = relax(state, heavy, F.floor(F.col("dist") / delta) == b,
+                      pending_only=False)
     light.unpersist()
     return state.select("id", "dist").filter(F.col("dist") != INF)
 

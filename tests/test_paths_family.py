@@ -110,3 +110,14 @@ def test_delta_stepping_matches_sssp(spark):
     exact = {r["id"]: r["dist"] for r in shortest_paths(g, [0]).collect()}
     ds = {r["id"]: r["dist"] for r in delta_stepping(g, 0, delta=2.0).collect()}
     assert ds == pytest.approx(exact)
+
+
+def test_delta_stepping_heavy_edges_on_optimal_paths(spark):
+    # every path to 1/2/3 crosses a HEAVY edge (w > delta): regression for
+    # the heavy pass running after the light loop un-pends the bucket
+    heavy = [(0, 1, 10.0), (1, 2, 1.0), (0, 2, 12.0), (2, 3, 5.0)]
+    g = from_edge_list(spark, heavy, n_nodes=4)
+    exact = {r["id"]: r["dist"] for r in shortest_paths(g, [0]).collect()}
+    ds = {r["id"]: r["dist"] for r in delta_stepping(g, 0, delta=2.0).collect()}
+    assert ds == pytest.approx(exact)
+    assert ds[3] == 16.0

@@ -2,11 +2,14 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 column names, and the order-insensitive multiset of values.
 
-Hang-proof: a watchdog thread hard-exits the process if any single query
-exceeds --timeout seconds (default 600), after flushing the per-query
-results already gathered to stdout and RESULTS_PATH — so one wedged query
-(round 1: the Louvain localCheckpoint stats explosion) can never void the
-whole artifact. Re-run with `--skip <name>` to grade the rest.
+Hang-proof, and CONTINUES past a hang: --timeout seconds (default 600) is
+forwarded to the contract's own per-query watchdog (SPARK_GRAFT_QUERY_TIMEOUT
+-> _guarded raises TimeoutError, job group cancelled), so a wedged Spark
+query is recorded as an error and the sweep moves on; an overlong DuckDB
+oracle is interrupted via con.interrupt() and likewise recorded. Only if a
+query is still wedged at 2x the timeout (cancellation itself failed) does
+the tool hard-exit after flushing the partial results to RESULTS_PATH —
+re-run with `--skip <name>` to grade the rest.
 
 Usage: python tools/check_correctness.py [--timeout S] [--skip name ...] [query ...]
 """
@@ -20,6 +23,18 @@ import threading
 import time
 
 RESULTS_PATH = "/tmp/check_correctness_results.json"
+
+
+def _prescan_timeout() -> float:
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--timeout" and i + 1 < len(argv):
+            return float(argv[i + 1])
+    return 600.0
+
+
+# must precede the entrymod import: _QUERY_TIMEOUT_S is read at module load
+os.environ["SPARK_GRAFT_QUERY_TIMEOUT"] = str(_prescan_timeout())
 
 import duckdb
 import pandas as pd
@@ -56,26 +71,42 @@ def main() -> int:
             rest.append(argv[i]); i += 1
     only = set(rest)
     results: dict[str, str] = {}
-    current = {"name": None, "start": 0.0}
+    # phase: None | "spark" | "duck"; _guarded bounds the spark phase itself,
+    # the watchdog below interrupts the duck phase, and hard-exits only if a
+    # query is STILL running at 2x timeout (cancellation failed).
+    current = {"name": None, "start": 0.0, "phase": None}
 
     def _flush():
         with open(RESULTS_PATH, "w") as f:
             json.dump(results, f, indent=1)
 
     def _watchdog():
+        interrupted = None
         while True:
             time.sleep(5)
             name = current["name"]
-            if name and time.time() - current["start"] > timeout_s:
-                results[name] = f"HANG >{timeout_s:.0f}s"
+            if not name:
+                continue
+            elapsed = time.time() - current["start"]
+            if (current["phase"] == "duck" and elapsed > timeout_s
+                    and interrupted != name):
+                interrupted = name
+                try:
+                    con.interrupt()
+                    print(f"\nSLOW  {name}: oracle exceeded {timeout_s:.0f}s; "
+                          "duckdb interrupted", flush=True)
+                except Exception:
+                    pass
+            if elapsed > 2 * timeout_s + 60:
+                results[name] = f"HANG >{elapsed:.0f}s (cancellation failed)"
                 _flush()
-                print(f"\nHANG  {name}: exceeded {timeout_s:.0f}s watchdog; "
-                      f"partial results in {RESULTS_PATH}", flush=True)
+                print(f"\nHANG  {name}: wedged past 2x watchdog; partial "
+                      f"results in {RESULTS_PATH}", flush=True)
                 os._exit(3)
 
-    threading.Thread(target=_watchdog, daemon=True).start()
     spark = get_spark("correctness_check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
+    threading.Thread(target=_watchdog, daemon=True).start()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
@@ -86,7 +117,7 @@ def main() -> int:
     for name, fn in queries.items():
         if (only and name not in only) or name in skip:
             continue
-        current["name"], current["start"] = name, time.time()
+        current["name"], current["start"], current["phase"] = name, time.time(), "spark"
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
@@ -94,6 +125,7 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
             results[name] = f"spark error: {ex}"; _flush()
+            current["name"] = None
             continue
         t_spark = time.time() - t0
         if name not in oracles:
@@ -104,6 +136,7 @@ def main() -> int:
             current["name"] = None
             continue
         t1 = time.time()
+        current["start"], current["phase"] = time.time(), "duck"
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as ex:
