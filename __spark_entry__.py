@@ -1899,6 +1899,61 @@ ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_edges),
 {' UNION ALL '.join(rows)}"""
 
 
+def q_random_walks_biased_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order p/q-biased walks in md5 hash mode (traversal/
+    RandomWalk.java:46 returnFactor/inOutFactor, node2vec alpha): the
+    Efraimidis-Spirakis pick key -ln(u)/alpha is derived from a 60-bit
+    md5-prefix u, so the full BIASED walk sequences -- including the
+    prev-adjacency alpha test -- are value-exactly replayable in DuckDB."""
+    from neo4j_graph_data_science_spark.operators.embeddings import (
+        RandomWalkConfig, random_walks,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return random_walks(g, RandomWalkConfig(
+        walk_length=5, return_factor=0.25, in_out_factor=4.0,
+        hash_mode="md5",
+    )).select("walk_id", "start", "step", "node")
+
+
+def _random_walks_biased_md5_sql(walk_length: int = 5, seed: int = 42,
+                                 p: float = 0.25, q: float = 4.0) -> str:
+    """Oracle: unrolled replay of the biased md5-mode walk. Per step t:
+    u = (md5int('walk:t:dst:seed') % M + 0.5) / M, alpha = 1/p if returning
+    to prev, 1 if dst neighbors prev, else 1/q; pick arg_min(-ln(u)/alpha)
+    per walk; carry cur as next step's prev. Step 1 has prev NULL =>
+    alpha 1 (uniform). Floating-point note: keys differ at >> 1 ulp except
+    under ~1e-16 coincidences, so cross-engine ln() drift cannot flip picks."""
+    M = 1_000_000_007
+    parts = ["""w0 AS MATERIALIZED (
+  SELECT id AS walk_id, id AS start, id AS cur, NULL::BIGINT AS prev FROM nodes
+)"""]
+    rows = ["SELECT walk_id, start, 0 AS step, cur AS node FROM w0"]
+    for t in range(1, walk_length):
+        parts.append(f"""w{t} AS MATERIALIZED (
+  SELECT walk_id, start,
+         arg_min(dst, key) AS cur, any_value(cur0) AS prev FROM (
+    SELECT f.walk_id, f.start, f.cur AS cur0, e.dst,
+           -ln((('0x' || substr(md5(f.walk_id::VARCHAR || ':{t}:'
+                                    || e.dst::VARCHAR || ':{seed}'), 1, 15))::BIGINT
+                % {M} + 0.5) / {M}.0)
+           / (CASE WHEN f.prev IS NULL THEN 1.0
+                   WHEN e.dst = f.prev THEN {1.0 / p}
+                   WHEN pa.src IS NOT NULL THEN 1.0
+                   ELSE {1.0 / q} END) AS key
+    FROM w{t - 1} f
+    JOIN ed e ON e.src = f.cur
+    LEFT JOIN ed pa ON pa.src = f.prev AND pa.dst = e.dst)
+  GROUP BY walk_id, start
+)""")
+        rows.append(f"SELECT walk_id, start, {t} AS step, cur AS node FROM w{t}")
+    return f"""WITH {_SCC_SUB},
+{_ev_ctes("events_sub")},
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_edges),
+{', '.join(parts)}
+{' UNION ALL '.join(rows)}"""
+
+
 def q_random_walks_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-order p/q-biased walks (traversal/RandomWalk.java:46
     returnFactor/inOutFactor); rows-only -- the hash-derived picks are a
@@ -2461,6 +2516,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_global": q_triangles_global,
         "random_walks_events_sub": q_random_walks,
         "random_walks_md5_events_sub": q_random_walks_md5,
+        "random_walks_biased_md5_events_sub": q_random_walks_biased_md5,
         "node_similarity_topn": q_node_similarity_topn,
         "celf_p1_events_sub": q_celf_p1,
         "harmonic_events_sub": q_harmonic,
@@ -2951,6 +3007,7 @@ FROM votes GROUP BY doc_id ORDER BY doc_id""",
         "fastrp_md5_events_sub": _fastrp_md5_sql(),
         "random_walks_md5_events_sub": _random_walks_md5_sql(),
         "hashgnn_md5_events_sub": _hashgnn_md5_sql(),
+        "random_walks_biased_md5_events_sub": _random_walks_biased_md5_sql(),
         "astar_paths_events_sub": _astar_sql(),
         "bellman_ford_neg_events_sub": _bellman_ford_neg_sql(),
         "dag_longest_events_sub": _dag_longest_sql(),
