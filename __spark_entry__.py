@@ -1674,6 +1674,66 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("distance_from_centroid", 4).alias("dist"))
 
 
+def q_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd K-means (kmeans/Kmeans.java:41 Lloyd loop,
+    pinned first-k-ids init, lowest-index tie-break, fixed 5 rounds) over
+    the embeddings table -- the full clustering (assignments AND distances)
+    is value-exactly replicable in DuckDB."""
+    from neo4j_graph_data_science_spark.operators.clustering import lloyd_kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    res = lloyd_kmeans(emb, k=4, iterations=5, id_col="vec_id")
+    return res.select(
+        "id", "community",
+        F.round("distance_from_centroid", 6).alias("dist"))
+
+
+def _lloyd_kmeans_sql(k: int = 4, iterations: int = 5) -> str:
+    """Oracle: unrolled Lloyd replay on (id, pos, x) relational state --
+    same pinned init (vectors of the k smallest ids, community = id rank),
+    same (d2, community) assignment tie-break, same
+    emptied-cluster-keeps-centroid rule."""
+    parts = [f"""ev AS MATERIALIZED (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+)""", f"""c0 AS MATERIALIZED (
+  SELECT s.community, e.pos, e.x
+  FROM (SELECT id, row_number() OVER (ORDER BY id) - 1 AS community
+        FROM (SELECT DISTINCT id FROM ev ORDER BY id LIMIT {k})) s
+  JOIN ev e ON e.id = s.id
+)"""]
+    for t in range(iterations):
+        parts.append(f"""d{t} AS (
+  SELECT e.id, c.community, sum((e.x - c.x) * (e.x - c.x)) AS d2
+  FROM ev e JOIN c{t} c ON c.pos = e.pos GROUP BY e.id, c.community
+),
+a{t} AS MATERIALIZED (
+  SELECT id, community FROM (
+    SELECT id, community,
+           row_number() OVER (PARTITION BY id ORDER BY d2, community) AS rn
+    FROM d{t}) WHERE rn = 1
+),
+n{t} AS (
+  SELECT a.community, e.pos, avg(e.x) AS x
+  FROM a{t} a JOIN ev e ON e.id = a.id GROUP BY a.community, e.pos
+),
+c{t + 1} AS MATERIALIZED (
+  SELECT c.community, c.pos, coalesce(n.x, c.x) AS x
+  FROM c{t} c LEFT JOIN n{t} n ON n.community = c.community AND n.pos = c.pos
+)""")
+    T = iterations
+    return f"""WITH {', '.join(parts)},
+df AS (
+  SELECT e.id, c.community, sum((e.x - c.x) * (e.x - c.x)) AS d2
+  FROM ev e JOIN c{T} c ON c.pos = e.pos GROUP BY e.id, c.community
+)
+SELECT id, community, round(sqrt(d2), 6) AS dist FROM (
+  SELECT id, community, d2,
+         row_number() OVER (PARTITION BY id ORDER BY d2, community) AS rn
+  FROM df) WHERE rn = 1 ORDER BY id"""
+
+
 def q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE over the SCC event subgraph with default degree features
     (rows-only: the trained-weight forward pass is non-SQL-expressible)."""
@@ -2497,6 +2557,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_ann_topk": q_filtered_ann_topk,
         "estimate_pagerank": q_estimate,
         "kmeans_embeddings": q_kmeans,
+        "lloyd_kmeans_embeddings": q_lloyd_kmeans,
         "bellman_ford_neg_events_sub": q_bellman_ford_neg,
         "hashgnn_events_sub": q_hashgnn,
         "hashgnn_md5_events_sub": q_hashgnn_md5,
@@ -3008,6 +3069,7 @@ FROM votes GROUP BY doc_id ORDER BY doc_id""",
         "random_walks_md5_events_sub": _random_walks_md5_sql(),
         "hashgnn_md5_events_sub": _hashgnn_md5_sql(),
         "random_walks_biased_md5_events_sub": _random_walks_biased_md5_sql(),
+        "lloyd_kmeans_embeddings": _lloyd_kmeans_sql(),
         "astar_paths_events_sub": _astar_sql(),
         "bellman_ford_neg_events_sub": _bellman_ford_neg_sql(),
         "dag_longest_events_sub": _dag_longest_sql(),

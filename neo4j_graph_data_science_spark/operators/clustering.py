@@ -83,6 +83,71 @@ def kmeans(vectors: DataFrame, config: KmeansConfig | None = None,
     )
 
 
+def lloyd_kmeans(vectors: DataFrame, k: int = 4, iterations: int = 5,
+                 id_col: str = "id", vec_col: str = "embedding") -> DataFrame:
+    """(id, community, distance_from_centroid): DETERMINISTIC Lloyd K-means
+    (kmeans/Kmeans.java:41 Lloyd loop with a pinned init instead of
+    K-means||): centroids start as the vectors of the k smallest ids,
+    assignment tie-break is the lowest centroid index, and the iteration
+    count is fixed -- so the whole clustering is value-exactly replicable
+    in any SQL engine (the DuckDB oracle unrolls the same rounds).
+    kmeans() (spark.ml, K-means|| init) remains the production path; this
+    variant exists for oracle-verifiable correctness evidence and as a
+    pure-DataFrame reference implementation.
+
+    Plan shape: per round, one crossJoin against the k-row centroid table
+    (broadcast -- k is tiny) + a min_by argmin, then a posexplode groupBy
+    to re-average centroids; all JVM-side, no Python in the loop."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
+
+    cent = (
+        v.orderBy("id").limit(k)
+        .select((F.row_number().over(Window.orderBy("id")) - 1)
+                .cast("long").alias("community"),
+                F.col("vec").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+    d2 = F.aggregate(
+        F.zip_with("vec", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        return (
+            v.crossJoin(F.broadcast(cent_df))
+            .withColumn("_d2", d2)
+            .groupBy("id")
+            .agg(F.min_by(F.struct("community", "_d2"),
+                          F.struct("_d2", "community")).alias("_best"))
+            .select("id", F.col("_best.community").alias("community"),
+                    F.col("_best._d2").alias("_d2"))
+        )
+
+    for _ in range(iterations):
+        a = assign(cent)
+        newc = (
+            a.join(v, "id")
+            .select("community", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("community", "pos").agg(F.avg("x").alias("x"))
+            .groupBy("community")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("_px"))
+            .select("community", F.col("_px.x").alias("_nvec"))
+        )
+        # an emptied cluster keeps its previous centroid
+        cent = (
+            cent.join(newc, "community", "left")
+            .select("community", F.coalesce("_nvec", "cvec").alias("cvec"))
+            .localCheckpoint(eager=True)
+        )
+    final = assign(cent)
+    return final.select(
+        "id", "community", F.sqrt("_d2").alias("distance_from_centroid"))
+
+
 def kmeans_node_property(graph: SparkGraph, property_col: str,
                          config: KmeansConfig | None = None) -> DataFrame:
     """GDS entry shape: cluster graph nodes on an array node property."""

@@ -3,7 +3,11 @@
 from __future__ import annotations
 
 from neo4j_graph_data_science_spark.catalog import from_edge_list
-from neo4j_graph_data_science_spark.operators.clustering import KmeansConfig, kmeans
+from neo4j_graph_data_science_spark.operators.clustering import (
+    KmeansConfig,
+    kmeans,
+    lloyd_kmeans,
+)
 from neo4j_graph_data_science_spark.operators.embeddings import (
     Node2VecConfig,
     node2vec,
@@ -24,6 +28,25 @@ def test_kmeans_separated_clusters(spark):
     hi = {comm[100 + i] for i in range(20)}
     assert len(lo) == 1 and len(hi) == 1 and lo != hi
     assert all(r["distance_from_centroid"] < 1.0 for r in res)
+
+
+def test_lloyd_kmeans_deterministic_clusters(spark):
+    # same blobs: the pinned-init Lloyd variant must separate them too,
+    # and two runs must agree exactly (no RNG anywhere)
+    rows = []
+    for i in range(20):
+        j = (i % 7) * 0.01
+        rows.append((i, [0.0 + j, 0.0, 0.0, j]))
+        rows.append((100 + i, [10.0 + j, 10.0, 10.0, j]))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    a = {r["id"]: (r["community"], round(r["distance_from_centroid"], 9))
+         for r in lloyd_kmeans(df, k=2, iterations=4).collect()}
+    b = {r["id"]: (r["community"], round(r["distance_from_centroid"], 9))
+         for r in lloyd_kmeans(df, k=2, iterations=4).collect()}
+    assert a == b
+    lo = {a[i][0] for i in range(20)}
+    hi = {a[100 + i][0] for i in range(20)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
 
 
 def test_kmeans_silhouette_bounds(spark):
