@@ -283,11 +283,17 @@ def astar(graph: SparkGraph, source: int, target: int,
         (F.col("id") == source).alias("changed"),
     ).localCheckpoint(eager=True)
     for _ in range(cfg.max_iterations):
-        best_t = state.filter(F.col("id") == target).select("dist").collect()[0][0]
+        # best known target distance stays IN the plan (1-row broadcast
+        # cross join) instead of a per-iteration driver collect, so each
+        # superstep costs exactly one action (the emptiness check below)
+        best_t = (state.filter(F.col("id") == target)
+                  .select(F.col("dist").alias("_best_t")))
         frontier = (
             state.filter(F.col("changed") & (F.col("dist") != INF))
             .join(h, "id", "left").fillna(0.0, ["h"])
-            .filter(F.col("dist") + F.col("h") < F.lit(best_t))
+            .crossJoin(F.broadcast(best_t))
+            .filter(F.col("dist") + F.col("h") < F.col("_best_t"))
+            .drop("_best_t")
         )
         if frontier.isEmpty():
             break
