@@ -585,6 +585,23 @@ def q_modularity_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("id", "community")
 
 
+def q_modularity_opt_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity optimization in md5-parity mode: the ONLY nondeterministic
+    engine choice in the shared Louvain/Leiden local-move kernel
+    (operators/leiden._moves, ModularityOptimization.java:61) is the
+    round-seeded move-parity hash; with it pinned to a 60-bit md5 prefix the
+    full 8-round move sequence replays bit-for-bit in DuckDB (gains are
+    exact integer-valued float arithmetic), value-verifying the kernel both
+    Louvain and Leiden iterate."""
+    from neo4j_graph_data_science_spark.operators.leiden import (
+        modularity_optimization,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    labels, _ = modularity_optimization(g, max_rounds=8, parity_mode="md5")
+    return labels.select("id", "community")
+
+
 def q_k_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.catalog import SparkGraph
     from neo4j_graph_data_science_spark.operators.spanningtree import (
@@ -661,8 +678,9 @@ SELECT DISTINCT src, dst, 1.0 AS weight FROM ({" UNION ALL ".join(ces)})"""
 
 def q_prize_steiner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prize-collecting Steiner tree (pricesteiner/PCSTFast.java:40) on the
-    SCC subgraph with deterministic hash weights and prizes: rows-only
-    (leaf-peeling DP is not SQL-expressible)."""
+    SCC subgraph with deterministic hash weights and prizes. DuckDB-oracled
+    via _prize_steiner_sql: cycle-property MST + the StrongPruning
+    leaf-peeling DP unrolled round-for-round."""
     from neo4j_graph_data_science_spark.catalog import SparkGraph
     from neo4j_graph_data_science_spark.operators.spanningtree import (
         prize_steiner_tree,
@@ -2354,6 +2372,152 @@ reachc(id, r) AS (
 SELECT id, min(r)::BIGINT AS community FROM reachc GROUP BY id ORDER BY id"""
 
 
+def _prize_steiner_sql(rounds: int = 16) -> str:
+    """Prize-collecting Steiner tree oracle (operators/spanningtree.py
+    prize_steiner_tree parity): the candidate tree is the unique MST under
+    the (w, src, dst) total order (cycle property, as in
+    _spanning_tree_sql), then the reference's StrongPruning leaf-peeling DP
+    (pricesteiner/StrongPruning.java:63) is unrolled round-for-round:
+
+      each round peels every remaining degree-1 node l (only the LESSER
+      endpoint of a leaf-leaf edge) and every degree-0 survivor; peel with
+      parent=nbr/cost=w when w < dp[l] (profitable) else severed
+      (parent=-1); dp[nbr] accumulates dp[l]-w; result = the subtree of
+      peel-time parent links hanging off the argmax-dp node (tie: min id).
+
+    A 480-node sf0.01 tree fully peels in 9 rounds; 16 gives margin (extra
+    rounds see empty state and contribute nothing). Weights/prizes mirror
+    q_prize_steiner: w = 1 + (src*11 + dst*17) % 7, prize = (id*13) % 9."""
+    parts = [
+        """st0 AS MATERIALIZED (
+  SELECT id, ((id * 13) % 9)::DOUBLE AS dp FROM nodes
+),
+ed0 AS MATERIALIZED (SELECT a, b, w FROM mst)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""dg{r} AS MATERIALIZED (
+  SELECT s AS id, count(*) AS d
+  FROM (SELECT a AS s FROM ed{p} UNION ALL SELECT b FROM ed{p}) GROUP BY s
+),
+lv{r} AS MATERIALIZED (
+  SELECT st.id, st.dp, coalesce(dg.d, 0) AS d
+  FROM st{p} st LEFT JOIN dg{r} dg ON dg.id = st.id
+),
+l1a{r} AS MATERIALIZED (
+  SELECT l.id, l.dp, CASE WHEN e.a = l.id THEN e.b ELSE e.a END AS nbr, e.w
+  FROM lv{r} l JOIN ed{p} e ON (e.a = l.id OR e.b = l.id)
+  WHERE l.d = 1
+),
+rw{r} AS MATERIALIZED (
+  SELECT id, CASE WHEN w < dp THEN nbr ELSE -1 END AS parent,
+         CASE WHEN w < dp THEN w END AS cost, dp AS dpp
+  FROM l1a{r} x
+  WHERE NOT (x.id > x.nbr AND EXISTS (SELECT 1 FROM l1a{r} y WHERE y.id = x.nbr))
+  UNION ALL
+  SELECT id, -1, NULL::DOUBLE, dp FROM lv{r} WHERE d = 0
+),
+gn{r} AS (
+  SELECT parent AS id, sum(dpp - cost) AS g FROM rw{r}
+  WHERE parent >= 0 GROUP BY parent
+),
+st{r} AS MATERIALIZED (
+  SELECT s.id, s.dp + coalesce(g.g, 0) AS dp
+  FROM st{p} s LEFT JOIN gn{r} g ON g.id = s.id
+  WHERE s.id NOT IN (SELECT id FROM rw{r})
+),
+ed{r} AS MATERIALIZED (
+  SELECT e.a, e.b, e.w FROM ed{p} e
+  WHERE e.a NOT IN (SELECT id FROM rw{r}) AND e.b NOT IN (SELECT id FROM rw{r})
+)""")
+    peeled_union = " UNION ALL ".join(
+        f"SELECT * FROM rw{r}" for r in range(1, rounds + 1))
+    return f"""WITH RECURSIVE {_SUB_UND},
+wund AS MATERIALIZED (
+  SELECT a, b, (1 + (a * 11 + b * 17) % 7)::DOUBLE AS w,
+         row_number() OVER (ORDER BY (1 + (a * 11 + b * 17) % 7), a, b) AS rk
+  FROM und
+),
+bi2 AS MATERIALIZED (
+  SELECT a AS s, b AS t, rk FROM wund UNION ALL SELECT b AS s, a AS t, rk FROM wund
+),
+reachs(rk, b, id) AS (
+  SELECT rk, b, a FROM wund
+  UNION
+  SELECT r.rk, r.b, e.t FROM reachs r JOIN bi2 e ON r.id = e.s AND e.rk < r.rk
+),
+mst AS MATERIALIZED (
+  SELECT w.a, w.b, w.w FROM wund w
+  LEFT JOIN reachs r ON r.rk = w.rk AND r.id = w.b
+  WHERE r.id IS NULL
+),
+{",".join(parts)},
+peeled AS MATERIALIZED ({peeled_union}),
+root AS MATERIALIZED (SELECT id AS rid FROM peeled ORDER BY dpp DESC, id LIMIT 1),
+kept(id) AS (
+  SELECT rid FROM root
+  UNION
+  SELECT p.id FROM peeled p JOIN kept k ON p.parent = k.id WHERE p.parent >= 0
+)
+SELECT p.id,
+       CASE WHEN p.id = r.rid THEN -1 ELSE p.parent END AS parent,
+       round(CASE WHEN p.id = r.rid THEN NULL ELSE p.cost END, 6) AS cost
+FROM peeled p JOIN kept k ON k.id = p.id CROSS JOIN root r
+WHERE EXISTS (SELECT 1 FROM peeled WHERE dpp > 0)
+ORDER BY p.id"""
+
+
+def _modularity_opt_md5_sql(rounds: int = 8, gamma: float = 1.0) -> str:
+    """Modularity-optimization local-move oracle (operators/leiden._moves
+    parity, ModularityOptimization.java:61), unrolled round-for-round: the
+    undirected aggregated edge weights (self-loops dropped), weighted
+    degrees k_i and 2m mirror modularity_optimization's edge prep exactly;
+    each round every node scores candidate communities by
+    k_{i,c} - gamma*k_i*(tot(c) - [c==own]k_i)/2m, takes the (gain DESC,
+    cand ASC) argmax, and MOVES only when gain > 0 AND the 60-bit
+    md5(id||':'||round) prefix is even -- the engine's md5 parity_mode.
+    Every quantity is integer-valued float arithmetic at this scale, so 8
+    rounds replay bit-for-bit (the SCC subgraph converges in 8)."""
+    parts = ["""ue AS (SELECT src AS s, dst AS t FROM raw_edges UNION ALL SELECT dst, src FROM raw_edges),
+ew AS MATERIALIZED (SELECT s, t, sum(1.0) AS w FROM ue WHERE s <> t GROUP BY s, t),
+nk AS MATERIALIZED (
+  SELECT n.id, coalesce(d.k, 0.0) AS k FROM nodes n
+  LEFT JOIN (SELECT s AS id, sum(w) AS k FROM ew GROUP BY s) d ON n.id = d.id
+),
+tm AS (SELECT CASE WHEN sum(k) = 0 THEN 1.0 ELSE sum(k) END AS m2 FROM nk),
+l0 AS MATERIALIZED (SELECT id, id AS comm, k FROM nk)"""]
+    for r in range(1, rounds + 1):
+        p, rnd = r - 1, r - 1
+        parts.append(f"""tot{r} AS MATERIALIZED (SELECT comm, sum(k) AS tot FROM l{p} GROUP BY comm),
+kic{r} AS MATERIALIZED (
+  SELECT e.s AS id, l.comm AS cand, sum(e.w) AS kic
+  FROM ew e JOIN l{p} l ON e.t = l.id GROUP BY e.s, l.comm
+),
+sc{r} AS MATERIALIZED (
+  SELECT k.id, k.cand,
+         k.kic - {gamma} * l.k * (t.tot - CASE WHEN k.cand = l.comm THEN l.k ELSE 0.0 END) / tm.m2 AS gain,
+         l.comm
+  FROM kic{r} k JOIN tot{r} t ON k.cand = t.comm JOIN l{p} l ON k.id = l.id CROSS JOIN tm
+),
+bst{r} AS MATERIALIZED (
+  SELECT id, cand, gain, comm FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY gain DESC, cand ASC) AS rn FROM sc{r}
+  ) WHERE rn = 1
+),
+l{r} AS MATERIALIZED (
+  SELECT l.id,
+         CASE WHEN b.cand IS NOT NULL AND b.cand <> l.comm AND b.gain > 0
+                   AND ('0x' || substr(md5(l.id::VARCHAR || ':{rnd}'), 1, 15))::BIGINT % 2 = 0
+              THEN b.cand ELSE l.comm END AS comm,
+         l.k
+  FROM l{p} l LEFT JOIN bst{r} b ON l.id = b.id
+)""")
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes('events_sub')},
+{",".join(parts)}
+SELECT id, comm AS community FROM l{rounds} ORDER BY id"""
+
+
 def _k1coloring_sql(rounds: int = 12) -> str:
     """Greedy conflict-resolution coloring, unrolled (operators/community.py
     k1_coloring parity): all nodes start color 0; each round, every node
@@ -2604,6 +2768,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_parts": q_triangles,
         "sllpa_events_sub": q_sllpa,
         "modularity_opt_events_sub": q_modularity_opt,
+        "modularity_opt_md5_events_sub": q_modularity_opt_md5,
         "lpa_events": q_lpa,
         "wcc_events": q_wcc,
         "modularity_wcc_events": q_modularity_wcc,
@@ -2653,6 +2818,8 @@ FROM nodes n LEFT JOIN (
         "transcript_pagerank_events": _transcript_pr_sql(),
         "yens_costs_events_sub": _yens_costs_sql(),
         "yens_paths_events_sub": _yens_paths_sql(),
+        "prize_steiner_events_sub": _prize_steiner_sql(),
+        "modularity_opt_md5_events_sub": _modularity_opt_md5_sql(),
         "bf_negative_cycle_ring": _bf_cycle_sql(),
         "celf_p1_events_sub": _celf_p1_sql(),
         "steiner_events_sub": _steiner_sql(),

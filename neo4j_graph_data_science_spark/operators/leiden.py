@@ -42,13 +42,20 @@ class LeidenConfig:
 
 
 def _moves(edges: DataFrame, labels: DataFrame, two_m: float, gamma: float,
-           max_rounds: int, constrained: bool, tag: str) -> DataFrame:
+           max_rounds: int, constrained: bool, tag: str,
+           parity_mode: str = "xxhash64") -> DataFrame:
     """Shared local-move kernel. labels: (id, comm, k [, grp]).
     If constrained, a node may only join communities whose nodes share its
     `grp` (the refinement constraint); comm -> grp is then well-defined.
     Gain (argmax-equivalent delta-Q with resolution):
         k_{i,c} - gamma * k_i * (sum_tot(c) - [c == own] k_i) / 2m
-    Moves apply on alternating hash parity (oscillation guard)."""
+    Moves apply on alternating hash parity (oscillation guard).
+
+    parity_mode: "xxhash64" (default, JVM hash) or "md5" (60-bit md5-prefix
+    parity, byte-identical in any engine with a standard md5 -- makes the
+    whole local-move sequence DuckDB-verifiable; everything else in the
+    round is exact integer-valued float arithmetic, so the rounds replay
+    bit-for-bit)."""
     cols = ["id", "comm", "k"] + (["grp"] if constrained else [])
     for rnd in range(max_rounds):
         sum_tot = labels.groupBy("comm").agg(F.sum("k").alias("_tot"))
@@ -85,7 +92,17 @@ def _moves(edges: DataFrame, labels: DataFrame, two_m: float, gamma: float,
         # same-class nodes swap communities forever (period-2/4 cycles);
         # re-drawing the moving subset each round breaks every such cycle
         # almost surely while keeping rounds deterministic
-        parity = F.pmod(F.xxhash64("id", F.lit(rnd)), F.lit(2)) == 0
+        if parity_mode == "md5":
+            parity = F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("id").cast("string"),
+                                          F.lit(str(rnd)))),
+                        1, 15),
+                    16, 10).cast("long"),
+                F.lit(2)) == 0
+        else:
+            parity = F.pmod(F.xxhash64("id", F.lit(rnd)), F.lit(2)) == 0
         improving = F.col("_best").isNotNull() & (F.col("_best") != F.col("comm")) \
             & (F.col("_gain") > 0)
         labels_new = truncate(
@@ -184,7 +201,8 @@ def leiden(graph: SparkGraph, config: LeidenConfig | None = None):
 
 
 def modularity_optimization(graph: SparkGraph, seed: DataFrame | None = None,
-                            gamma: float = 1.0, max_rounds: int = 20):
+                            gamma: float = 1.0, max_rounds: int = 20,
+                            parity_mode: str = "xxhash64"):
     """Standalone modularity optimization (modularityoptimization/
     ModularityOptimization.java:61): the local-move phase alone -- no
     contraction levels -- optionally warm-started from a seed partition
@@ -207,7 +225,7 @@ def modularity_optimization(graph: SparkGraph, seed: DataFrame | None = None,
     else:
         labels0 = nodes_k.select("id", F.col("id").alias("comm"), "k")
     labels = _moves(edges, truncate(labels0, "mo_lab"), two_m, gamma,
-                    max_rounds, False, "mo_mv")
+                    max_rounds, False, "mo_mv", parity_mode=parity_mode)
     out = labels.select("id", F.col("comm").alias("community"))
     q = modularity_metric(graph, out, "community").collect()[0]["modularity"]
     return out, q
