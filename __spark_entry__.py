@@ -526,6 +526,22 @@ def q_max_kcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select("id", "community")
 
 
+def q_max_kcut_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx max k-cut in md5 hash mode: both random draws (initial GRASP
+    partition and move parity) pinned to md5 prefixes, so the full
+    2-restart x 6-round run including the best-restart argmax replays
+    bit-for-bit in DuckDB (_max_kcut_md5_sql)."""
+    from neo4j_graph_data_science_spark.operators.maxkcut import (
+        MaxKCutConfig, approx_max_k_cut,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    part, _ = approx_max_k_cut(g, MaxKCutConfig(k=3, iterations=2,
+                                                local_rounds=6,
+                                                hash_mode="md5"))
+    return part.select("id", "community")
+
+
 def q_celf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.operators.influence import (
         CelfConfig, celf,
@@ -599,6 +615,42 @@ def q_modularity_opt_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _scc_subgraph(spark, sf_dir, include_loop=False)
     labels, _ = modularity_optimization(g, max_rounds=8, parity_mode="md5")
+    return labels.select("id", "community")
+
+
+def q_louvain_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-level Louvain in md5-parity mode (Louvain.java:51): local
+    moves -> community-graph contraction (self-loops kept) -> local moves,
+    assignments composed. min_gain=-1 pins the level count structurally so
+    the only nondeterministic choice left -- the round-seeded move parity
+    -- is md5-replayable; the whole pipeline (kernel AND contraction AND
+    composition) is then value-verified in DuckDB via _louvain_md5_sql."""
+    from neo4j_graph_data_science_spark.operators.louvain import (
+        LouvainConfig, louvain,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    labels, _, _ = louvain(
+        g, LouvainConfig(max_levels=2, max_local_moves=8, min_gain=-1.0),
+        parity_mode="md5")
+    return labels.select("id", "community")
+
+
+def q_leiden_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-level Leiden in md5-parity mode: coarse moves -> constrained
+    refinement -> contraction by the refined partition -> seeded coarse
+    moves, composed. Value-verifies the entire Leiden pipeline (including
+    the refinement constraint and coarse-community seeding, which Louvain
+    doesn't exercise) against _leiden_md5_sql."""
+    from neo4j_graph_data_science_spark.operators.leiden import (
+        LeidenConfig, leiden,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    labels, _, _ = leiden(
+        g, LeidenConfig(max_levels=2, max_local_moves=8,
+                        max_refine_moves=8, min_gain=-1.0),
+        parity_mode="md5")
     return labels.select("id", "community")
 
 
@@ -2467,6 +2519,99 @@ WHERE EXISTS (SELECT 1 FROM peeled WHERE dpp > 0)
 ORDER BY p.id"""
 
 
+def _sllpa_sql(rounds: int = 8, mas: float = 0.2) -> str:
+    """SLLPA oracle (operators/sllpa.sllpa parity, SpeakerListenerLPA.java:33
+    deterministic zero-temperature variant), unrolled round-for-round: the
+    memory map<label,cnt> becomes a (id, label, cnt) relation; each round
+    every speaker utters its memory mode (cnt DESC, label ASC), listeners
+    count utterances over the undirected edge set `bi` and adopt the
+    (c DESC, label ASC) argmax, incrementing that label's count. After
+    `rounds` rounds, labels held with frequency >= min_association_strength
+    are the node's communities, sorted and comma-joined exactly like the
+    contract query's array_join(array_sort(...)). Every step is integer
+    counting + total orders -- no hash, no float -- so the replay is exact."""
+    parts = ["m0 AS MATERIALIZED (SELECT id, id AS label, 1::BIGINT AS cnt FROM nodes)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""spk{r} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+    FROM m{p}
+  ) WHERE rn = 1
+),
+hd{r} AS MATERIALIZED (
+  SELECT e.t AS id, s.label, count(*) AS c
+  FROM bi e JOIN spk{r} s ON e.s = s.id GROUP BY e.t, s.label
+),
+ad{r} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+    FROM hd{r}
+  ) WHERE rn = 1
+),
+m{r} AS MATERIALIZED (
+  SELECT id, label, sum(cnt)::BIGINT AS cnt FROM (
+    SELECT id, label, cnt FROM m{p}
+    UNION ALL SELECT id, label, 1 FROM ad{r}
+  ) GROUP BY id, label
+)""")
+    return f"""WITH RECURSIVE {_SUB_UND},
+{",".join(parts)},
+tot AS (SELECT id, sum(cnt) AS total FROM m{rounds} GROUP BY id)
+SELECT m.id, string_agg(m.label::VARCHAR, ',' ORDER BY m.label) AS communities
+FROM m{rounds} m JOIN tot t ON m.id = t.id
+WHERE m.cnt::DOUBLE / t.total::DOUBLE >= {mas}
+GROUP BY m.id ORDER BY m.id"""
+
+
+def _move_rounds_sql(pfx: str, ew: str, l0: str, rounds: int, parts: list,
+                     gamma: float = 1.0) -> str:
+    """Append `rounds` unrolled local-move rounds (the md5-parity kernel
+    shared by modularity_optimization, Louvain levels, and Leiden's
+    unconstrained phase) to `parts`; returns the final labels CTE name.
+    `ew` is a (s, t, w) both-directions weighted edge CTE, `l0` the initial
+    (id, comm, k) labels; `{pfx}tm` must hold the 2m scalar as m2."""
+    last = l0
+    for r in range(1, rounds + 1):
+        p, rnd = last, r - 1
+        parts.append(f"""{pfx}tot{r} AS MATERIALIZED (SELECT comm, sum(k) AS tot FROM {p} GROUP BY comm),
+{pfx}kic{r} AS MATERIALIZED (
+  SELECT e.s AS id, l.comm AS cand, sum(e.w) AS kic
+  FROM {ew} e JOIN {p} l ON e.t = l.id GROUP BY e.s, l.comm
+),
+{pfx}sc{r} AS MATERIALIZED (
+  SELECT k.id, k.cand,
+         k.kic - {gamma} * l.k * (t.tot - CASE WHEN k.cand = l.comm THEN l.k ELSE 0.0 END) / {pfx}tm.m2 AS gain,
+         l.comm
+  FROM {pfx}kic{r} k JOIN {pfx}tot{r} t ON k.cand = t.comm JOIN {p} l ON k.id = l.id CROSS JOIN {pfx}tm
+),
+{pfx}bst{r} AS MATERIALIZED (
+  SELECT id, cand, gain, comm FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY gain DESC, cand ASC) AS rn FROM {pfx}sc{r}
+  ) WHERE rn = 1
+),
+{pfx}l{r} AS MATERIALIZED (
+  SELECT l.id,
+         CASE WHEN b.cand IS NOT NULL AND b.cand <> l.comm AND b.gain > 0
+                   AND ('0x' || substr(md5(l.id::VARCHAR || ':{rnd}'), 1, 15))::BIGINT % 2 = 0
+              THEN b.cand ELSE l.comm END AS comm,
+         l.k
+  FROM {p} l LEFT JOIN {pfx}bst{r} b ON l.id = b.id
+)""")
+        last = f"{pfx}l{r}"
+    return last
+
+
+_MOVE_PREP = """ue AS (SELECT src AS s, dst AS t FROM raw_edges UNION ALL SELECT dst, src FROM raw_edges),
+{p}ew AS MATERIALIZED (SELECT s, t, sum(1.0)::DOUBLE AS w FROM ue WHERE s <> t GROUP BY s, t),
+{p}nk AS MATERIALIZED (
+  SELECT n.id, coalesce(d.k, 0.0) AS k FROM nodes n
+  LEFT JOIN (SELECT s AS id, sum(w) AS k FROM {p}ew GROUP BY s) d ON n.id = d.id
+),
+{p}tm AS (SELECT CASE WHEN sum(k) = 0 THEN 1.0 ELSE sum(k) END AS m2 FROM {p}nk),
+{p}l0 AS MATERIALIZED (SELECT id, id AS comm, k FROM {p}nk)"""
+
+
 def _modularity_opt_md5_sql(rounds: int = 8, gamma: float = 1.0) -> str:
     """Modularity-optimization local-move oracle (operators/leiden._moves
     parity, ModularityOptimization.java:61), unrolled round-for-round: the
@@ -2478,44 +2623,185 @@ def _modularity_opt_md5_sql(rounds: int = 8, gamma: float = 1.0) -> str:
     md5(id||':'||round) prefix is even -- the engine's md5 parity_mode.
     Every quantity is integer-valued float arithmetic at this scale, so 8
     rounds replay bit-for-bit (the SCC subgraph converges in 8)."""
-    parts = ["""ue AS (SELECT src AS s, dst AS t FROM raw_edges UNION ALL SELECT dst, src FROM raw_edges),
-ew AS MATERIALIZED (SELECT s, t, sum(1.0) AS w FROM ue WHERE s <> t GROUP BY s, t),
-nk AS MATERIALIZED (
-  SELECT n.id, coalesce(d.k, 0.0) AS k FROM nodes n
-  LEFT JOIN (SELECT s AS id, sum(w) AS k FROM ew GROUP BY s) d ON n.id = d.id
+    parts = [_MOVE_PREP.format(p="")]
+    fin = _move_rounds_sql("", "ew", "l0", rounds, parts, gamma)
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes('events_sub')},
+{",".join(parts)}
+SELECT id, comm AS community FROM {fin} ORDER BY id"""
+
+
+def _louvain_md5_sql(rounds: int = 8) -> str:
+    """Full two-level Louvain oracle (operators/louvain.louvain parity,
+    Louvain.java:51), md5 parity_mode: level 1 is the verified local-move
+    kernel from identity labels; the community graph is then contracted
+    (edges.groupBy(comm(s), comm(d)).sum(w), self-loops kept so they feed
+    k_i and k_{i,own} at level 2, exactly as in the engine) and level 2
+    reruns the kernel over it; the result composes the two assignments.
+    The contract query pins min_gain=-1 so the level count is structural
+    (always 2) rather than float-threshold-gated; every weight stays
+    integer-valued through contraction, so all gains are deterministic
+    IEEE doubles and the whole pipeline replays bit-for-bit."""
+    parts = [_MOVE_PREP.format(p="a")]
+    f1 = _move_rounds_sql("a", "aew", "al0", rounds, parts)
+    parts.append(f"""bew AS MATERIALIZED (
+  SELECT l.comm AS s, r.comm AS t, sum(e.w) AS w
+  FROM aew e JOIN {f1} l ON e.s = l.id JOIN {f1} r ON e.t = r.id GROUP BY 1, 2
 ),
-tm AS (SELECT CASE WHEN sum(k) = 0 THEN 1.0 ELSE sum(k) END AS m2 FROM nk),
-l0 AS MATERIALIZED (SELECT id, id AS comm, k FROM nk)"""]
+bnodes AS MATERIALIZED (SELECT DISTINCT comm AS id FROM {f1}),
+bnk AS MATERIALIZED (
+  SELECT n.id, coalesce(d.k, 0.0) AS k FROM bnodes n
+  LEFT JOIN (SELECT s AS id, sum(w) AS k FROM bew GROUP BY s) d ON n.id = d.id
+),
+btm AS (SELECT CASE WHEN sum(k) = 0 THEN 1.0 ELSE sum(k) END AS m2 FROM bnk),
+bl0 AS MATERIALIZED (SELECT id, id AS comm, k FROM bnk)""")
+    f2 = _move_rounds_sql("b", "bew", "bl0", rounds, parts)
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes('events_sub')},
+{",".join(parts)}
+SELECT a.id, b.comm AS community FROM {f1} a JOIN {f2} b ON a.comm = b.id ORDER BY a.id"""
+
+
+def _grp_rounds_sql(pfx: str, ew: str, l0: str, rounds: int,
+                    parts: list) -> str:
+    """Constrained variant of _move_rounds_sql (Leiden refinement,
+    leiden._moves constrained=True): labels carry a `grp` column and a node
+    may only join candidate communities whose members share its grp."""
+    last = l0
     for r in range(1, rounds + 1):
-        p, rnd = r - 1, r - 1
-        parts.append(f"""tot{r} AS MATERIALIZED (SELECT comm, sum(k) AS tot FROM l{p} GROUP BY comm),
-kic{r} AS MATERIALIZED (
-  SELECT e.s AS id, l.comm AS cand, sum(e.w) AS kic
-  FROM ew e JOIN l{p} l ON e.t = l.id GROUP BY e.s, l.comm
+        p, rnd = last, r - 1
+        parts.append(f"""{pfx}tot{r} AS MATERIALIZED (SELECT comm, sum(k) AS tot FROM {p} GROUP BY comm),
+{pfx}kic{r} AS MATERIALIZED (
+  SELECT e.s AS id, l.comm AS cand, l.grp AS cg, sum(e.w) AS kic
+  FROM {ew} e JOIN {p} l ON e.t = l.id GROUP BY 1, 2, 3
 ),
-sc{r} AS MATERIALIZED (
-  SELECT k.id, k.cand,
-         k.kic - {gamma} * l.k * (t.tot - CASE WHEN k.cand = l.comm THEN l.k ELSE 0.0 END) / tm.m2 AS gain,
-         l.comm
-  FROM kic{r} k JOIN tot{r} t ON k.cand = t.comm JOIN l{p} l ON k.id = l.id CROSS JOIN tm
-),
-bst{r} AS MATERIALIZED (
+{pfx}bst{r} AS MATERIALIZED (
   SELECT id, cand, gain, comm FROM (
-    SELECT *, row_number() OVER (PARTITION BY id ORDER BY gain DESC, cand ASC) AS rn FROM sc{r}
+    SELECT k.id, k.cand,
+           k.kic - l.k * (t.tot - CASE WHEN k.cand = l.comm THEN l.k ELSE 0.0 END) / {pfx}tm.m2 AS gain,
+           l.comm,
+           row_number() OVER (PARTITION BY k.id ORDER BY
+             k.kic - l.k * (t.tot - CASE WHEN k.cand = l.comm THEN l.k ELSE 0.0 END) / {pfx}tm.m2 DESC,
+             k.cand ASC) AS rn
+    FROM {pfx}kic{r} k JOIN {pfx}tot{r} t ON k.cand = t.comm
+    JOIN {p} l ON k.id = l.id CROSS JOIN {pfx}tm
+    WHERE k.cg = l.grp
   ) WHERE rn = 1
 ),
-l{r} AS MATERIALIZED (
+{pfx}l{r} AS MATERIALIZED (
   SELECT l.id,
          CASE WHEN b.cand IS NOT NULL AND b.cand <> l.comm AND b.gain > 0
                    AND ('0x' || substr(md5(l.id::VARCHAR || ':{rnd}'), 1, 15))::BIGINT % 2 = 0
               THEN b.cand ELSE l.comm END AS comm,
-         l.k
-  FROM l{p} l LEFT JOIN bst{r} b ON l.id = b.id
+         l.k, l.grp
+  FROM {p} l LEFT JOIN {pfx}bst{r} b ON l.id = b.id
 )""")
+        last = f"{pfx}l{r}"
+    return last
+
+
+def _leiden_md5_sql(rounds: int = 8) -> str:
+    """Full two-level Leiden oracle (operators/leiden.leiden parity,
+    leiden/Leiden.java semantics), md5 parity_mode: coarse local moves from
+    identity labels; REFINEMENT re-runs the kernel from singletons with
+    candidates constrained to the coarse community (grp); the graph is
+    contracted by the REFINED partition (self-loops kept); level 2 reruns
+    coarse moves SEEDED by each refined community's coarse community; the
+    final label composes original id -> refined node -> level-2 community.
+    min_gain=-1 in the contract query pins the level count structurally;
+    weights stay integer-valued through contraction so gains are
+    deterministic IEEE doubles and the pipeline replays bit-for-bit."""
+    parts = [_MOVE_PREP.format(p="a")]
+    c1 = _move_rounds_sql("a", "aew", "al0", rounds, parts)
+    parts.append(f"""rl0 AS MATERIALIZED (
+  SELECT n.id, n.id AS comm, n.k, c.comm AS grp
+  FROM ank n JOIN {c1} c ON n.id = c.id
+),
+rtm AS (SELECT m2 FROM atm)""")
+    r1 = _grp_rounds_sql("r", "aew", "rl0", rounds, parts)
+    parts.append(f"""bew AS MATERIALIZED (
+  SELECT l.comm AS s, r.comm AS t, sum(e.w) AS w
+  FROM aew e JOIN {r1} l ON e.s = l.id JOIN {r1} r ON e.t = r.id GROUP BY 1, 2
+),
+bnodes AS MATERIALIZED (SELECT DISTINCT comm AS id FROM {r1}),
+bnk AS MATERIALIZED (
+  SELECT n.id, coalesce(d.k, 0.0) AS k FROM bnodes n
+  LEFT JOIN (SELECT s AS id, sum(w) AS k FROM bew GROUP BY s) d ON n.id = d.id
+),
+btm AS (SELECT CASE WHEN sum(k) = 0 THEN 1.0 ELSE sum(k) END AS m2 FROM bnk),
+binit AS MATERIALIZED (SELECT DISTINCT comm AS id, grp AS comm0 FROM {r1}),
+bl0 AS MATERIALIZED (
+  SELECT n.id, i.comm0 AS comm, n.k FROM bnk n JOIN binit i ON n.id = i.id
+)""")
+    c2 = _move_rounds_sql("b", "bew", "bl0", rounds, parts)
     return f"""WITH RECURSIVE {_SCC_SUB},
 {_ev_ctes('events_sub')},
 {",".join(parts)}
-SELECT id, comm AS community FROM l{rounds} ORDER BY id"""
+SELECT r.id, b.comm AS community
+FROM {r1} r JOIN {c2} b ON r.comm = b.id ORDER BY r.id"""
+
+
+def _max_kcut_md5_sql(k: int = 3, seed: int = 42, rounds: int = 6,
+                      restarts: int = 2) -> str:
+    """Approx max k-cut oracle (operators/maxkcut.approx_max_k_cut parity,
+    ApproxMaxKCut.java:58), hash_mode=md5, unrolled: per GRASP restart the
+    initial partition is md5(id:seed+restart) % k; each local round every
+    node scores its weight toward all k partitions (missing -> 0), takes
+    the (w ASC, cand ASC) argmin, and moves when strictly improving AND the
+    md5(id:round:restart) parity is even; the best restart by cut weight
+    wins, earlier restart on ties (strict >, as in the engine). All weights
+    and cuts are integer-valued, so the replay is exact."""
+    parts = [f"""ue AS (SELECT src AS s, dst AS t FROM raw_edges UNION ALL SELECT dst, src FROM raw_edges),
+ew AS MATERIALIZED (SELECT s, t, sum(1.0)::DOUBLE AS w FROM ue WHERE s <> t GROUP BY s, t),
+cands AS (SELECT range::INT AS cand FROM range({k}))"""]
+    finals = []
+    for rs in range(restarts):
+        pfx = f"x{rs}"
+        parts.append(f"""{pfx}p0 AS MATERIALIZED (
+  SELECT id, (('0x' || substr(md5(id::VARCHAR || ':{seed + rs}'), 1, 15))::BIGINT % {k})::INT AS part
+  FROM nodes
+)""")
+        last = f"{pfx}p0"
+        for r in range(1, rounds + 1):
+            rnd = r - 1
+            parts.append(f"""{pfx}tw{r} AS MATERIALIZED (
+  SELECT n.id, c.cand, coalesce(t.w, 0.0) AS w
+  FROM nodes n CROSS JOIN cands c
+  LEFT JOIN (
+    SELECT e.s AS id, p.part AS cand, sum(e.w) AS w
+    FROM ew e JOIN {last} p ON e.t = p.id GROUP BY e.s, p.part
+  ) t ON t.id = n.id AND t.cand = c.cand
+),
+{pfx}b{r} AS MATERIALIZED (
+  SELECT id, cand, w FROM (
+    SELECT id, cand, w, row_number() OVER (PARTITION BY id ORDER BY w ASC, cand ASC) AS rn
+    FROM {pfx}tw{r}
+  ) WHERE rn = 1
+),
+{pfx}p{r} AS MATERIALIZED (
+  SELECT p.id,
+         CASE WHEN b.w < c.w
+                   AND ('0x' || substr(md5(p.id::VARCHAR || ':{rnd}:{rs}'), 1, 15))::BIGINT % 2 = 0
+              THEN b.cand ELSE p.part END AS part
+  FROM {last} p
+  JOIN {pfx}b{r} b ON p.id = b.id
+  JOIN {pfx}tw{r} c ON c.id = p.id AND c.cand = p.part
+)""")
+            last = f"{pfx}p{r}"
+        parts.append(f"""{pfx}cut AS (
+  SELECT coalesce(sum(e.w), 0.0) / 2 AS cut
+  FROM ew e JOIN {last} a ON e.s = a.id JOIN {last} b ON e.t = b.id
+  WHERE a.part <> b.part
+)""")
+        finals.append((last, f"{pfx}cut"))
+    sel = f"""SELECT f0.id,
+       (CASE WHEN (SELECT cut FROM {finals[1][1]}) > (SELECT cut FROM {finals[0][1]})
+             THEN f1.part ELSE f0.part END)::BIGINT AS community
+FROM {finals[0][0]} f0 JOIN {finals[1][0]} f1 ON f0.id = f1.id ORDER BY f0.id"""
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes('events_sub')},
+{",".join(parts)}
+{sel}"""
 
 
 def _k1coloring_sql(rounds: int = 12) -> str:
@@ -2769,6 +3055,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sllpa_events_sub": q_sllpa,
         "modularity_opt_events_sub": q_modularity_opt,
         "modularity_opt_md5_events_sub": q_modularity_opt_md5,
+        "louvain_md5_events_sub": q_louvain_md5,
+        "leiden_md5_events_sub": q_leiden_md5,
+        "max_kcut_md5_events_sub": q_max_kcut_md5,
         "lpa_events": q_lpa,
         "wcc_events": q_wcc,
         "modularity_wcc_events": q_modularity_wcc,
@@ -2820,6 +3109,10 @@ FROM nodes n LEFT JOIN (
         "yens_paths_events_sub": _yens_paths_sql(),
         "prize_steiner_events_sub": _prize_steiner_sql(),
         "modularity_opt_md5_events_sub": _modularity_opt_md5_sql(),
+        "sllpa_events_sub": _sllpa_sql(),
+        "louvain_md5_events_sub": _louvain_md5_sql(),
+        "leiden_md5_events_sub": _leiden_md5_sql(),
+        "max_kcut_md5_events_sub": _max_kcut_md5_sql(),
         "bf_negative_cycle_ring": _bf_cycle_sql(),
         "celf_p1_events_sub": _celf_p1_sql(),
         "steiner_events_sub": _steiner_sql(),

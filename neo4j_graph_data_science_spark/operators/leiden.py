@@ -122,7 +122,8 @@ def _moves(edges: DataFrame, labels: DataFrame, two_m: float, gamma: float,
     return labels
 
 
-def leiden(graph: SparkGraph, config: LeidenConfig | None = None):
+def leiden(graph: SparkGraph, config: LeidenConfig | None = None,
+           parity_mode: str = "xxhash64"):
     """Returns (labels_df(id, community), levels, modularities) -- same
     result shape as louvain(); community ids live in the original id space."""
     cfg = config or LeidenConfig()
@@ -149,7 +150,8 @@ def leiden(graph: SparkGraph, config: LeidenConfig | None = None):
         labels0 = truncate(
             nodes_k.join(seed.select("id", "comm"), "id"), "ld_lab")
         coarse = _moves(edges, labels0.select("id", "comm", "k"), two_m,
-                        cfg.gamma, cfg.max_local_moves, False, "ld_mv")
+                        cfg.gamma, cfg.max_local_moves, False, "ld_mv",
+                        parity_mode=parity_mode)
 
         # ---- output + termination check on the ORIGINAL graph ----------
         new_out = truncate(
@@ -169,7 +171,8 @@ def leiden(graph: SparkGraph, config: LeidenConfig | None = None):
         ref0 = coarse.select(
             "id", F.col("id").alias("comm"), "k", F.col("comm").alias("grp"))
         refined = _moves(edges, ref0, two_m, cfg.gamma,
-                         cfg.max_refine_moves, True, "ld_rf")
+                         cfg.max_refine_moves, True, "ld_rf",
+                         parity_mode=parity_mode)
 
         # ---- aggregate by REFINED partition -----------------------------
         r_s = refined.select(F.col("id").alias(SRC), F.col("comm").alias("_rs"))

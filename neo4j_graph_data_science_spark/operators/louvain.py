@@ -46,9 +46,16 @@ class LouvainConfig:
     partitions: int | None = None
 
 
-def _local_moves(edges: DataFrame, nodes: DataFrame, max_rounds: int) -> DataFrame:
+def _local_moves(edges: DataFrame, nodes: DataFrame, max_rounds: int,
+                 parity_mode: str = "xxhash64") -> DataFrame:
     """One Louvain level's local-move phase over an undirected weighted
-    edge DF (both directions present). Returns (id, comm)."""
+    edge DF (both directions present). Returns (id, comm).
+
+    parity_mode "md5" pins the round-seeded move-parity draw to a 60-bit
+    md5 prefix (same construct as leiden._moves) so the move sequence --
+    the only nondeterministic choice; every weight stays integer-valued
+    through contraction, making gains deterministic IEEE doubles -- replays
+    bit-for-bit in any engine with a standard md5."""
     deg = edges.groupBy(F.col(SRC).alias("id")).agg(F.sum(W).alias("k"))
     nodes_k = truncate(nodes.join(deg, "id", "left").fillna(0.0, ["k"]), "lv_nk")
     two_m = nodes_k.agg(F.sum("k")).collect()[0][0] or 1.0
@@ -85,7 +92,17 @@ def _local_moves(edges: DataFrame, nodes: DataFrame, max_rounds: int) -> DataFra
         # fixpoint check needs no extra pass. One materialization + one
         # cache-read agg per round.
         # round-seeded parity (see leiden._moves): fixed classes oscillate
-        parity = F.pmod(F.xxhash64("id", F.lit(rnd)), F.lit(2)) == 0
+        if parity_mode == "md5":
+            parity = F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("id").cast("string"),
+                                          F.lit(str(rnd)))),
+                        1, 15),
+                    16, 10).cast("long"),
+                F.lit(2)) == 0
+        else:
+            parity = F.pmod(F.xxhash64("id", F.lit(rnd)), F.lit(2)) == 0
         improving = F.col("_best").isNotNull() & (F.col("_best") != F.col("comm")) \
             & (F.col("_gain") > 0)
         labels_new = (
@@ -108,7 +125,8 @@ def _local_moves(edges: DataFrame, nodes: DataFrame, max_rounds: int) -> DataFra
     return labels.select("id", "comm")
 
 
-def louvain(graph: SparkGraph, config: LouvainConfig | None = None):
+def louvain(graph: SparkGraph, config: LouvainConfig | None = None,
+            parity_mode: str = "xxhash64"):
     """Returns (labels_df, levels, modularities): labels (id, community)
     on the ORIGINAL ids; modularities per level (GDS result shape)."""
     cfg = config or LouvainConfig()
@@ -123,7 +141,8 @@ def louvain(graph: SparkGraph, config: LouvainConfig | None = None):
     prev_q = None
 
     for level in range(cfg.max_levels):
-        labels = _local_moves(edges, nodes, cfg.max_local_moves)
+        labels = _local_moves(edges, nodes, cfg.max_local_moves,
+                              parity_mode=parity_mode)
         new_assignment = (
             assignment.join(
                 labels.select(F.col("id").alias("community"), F.col("comm")),

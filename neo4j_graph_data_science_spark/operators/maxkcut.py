@@ -31,6 +31,12 @@ class MaxKCutConfig:
     iterations: int = 4          # GRASP restarts
     local_rounds: int = 12
     seed: int = 42
+    # "xxhash64" (default) or "md5": pins BOTH random draws (initial
+    # k-partition and round-seeded move parity) to 60-bit md5 prefixes so
+    # the whole GRASP run replays bit-for-bit in any engine with a standard
+    # md5 -- all weights/cut values are integer-valued, so gains and the
+    # best-restart argmax are exact
+    hash_mode: str = "xxhash64"
 
 
 def _cut_weight(edges: DataFrame, part: DataFrame) -> float:
@@ -55,13 +61,22 @@ def approx_max_k_cut(graph: SparkGraph, config: MaxKCutConfig | None = None):
         "kcut_edges",
     )
     nodes = truncate(graph.nodes.select("id"), "kcut_nodes")
+    def _md5_long(*cols):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", *cols)), 1, 15), 16, 10
+        ).cast("long")
+
     best_df, best_cut = None, -1.0
     for restart in range(cfg.iterations):
+        if cfg.hash_mode == "md5":
+            init_hash = _md5_long(F.col("id").cast("string"),
+                                  F.lit(str(cfg.seed + restart)))
+        else:
+            init_hash = F.xxhash64("id", F.lit(cfg.seed + restart))
         part = truncate(
             nodes.select(
                 "id",
-                F.pmod(F.xxhash64("id", F.lit(cfg.seed + restart)),
-                       F.lit(cfg.k)).cast("int").alias("part")),
+                F.pmod(init_hash, F.lit(cfg.k)).cast("int").alias("part")),
             "kcut_part",
         )
         for rnd in range(cfg.local_rounds):
@@ -88,8 +103,14 @@ def approx_max_k_cut(graph: SparkGraph, config: MaxKCutConfig | None = None):
                 .filter(F.col("_rn") == 1)
                 .select("id", F.col("cand").alias("_best"), F.col("_w").alias("_bw"))
             )
-            parity = F.pmod(F.xxhash64("id", F.lit(rnd), F.lit(restart)),
-                            F.lit(2)) == 0
+            if cfg.hash_mode == "md5":
+                parity = F.pmod(
+                    _md5_long(F.col("id").cast("string"), F.lit(str(rnd)),
+                              F.lit(str(restart))),
+                    F.lit(2)) == 0
+            else:
+                parity = F.pmod(F.xxhash64("id", F.lit(rnd), F.lit(restart)),
+                                F.lit(2)) == 0
             cur_w = (
                 scored.join(part, "id")
                 .filter(F.col("cand") == F.col("part"))

@@ -69,3 +69,28 @@ def test_modularity_optimization_standalone(spark):
     got2 = {r["id"]: r["community"] for r in labels2.collect()}
     assert got2[0] == got2[1] == got2[2] and got2[3] == got2[4] == got2[5]
     assert q2 >= q - 1e-9
+
+
+def test_leiden_md5_parity_mode_same_structure(spark):
+    """md5 parity_mode (DuckDB-replayable draws) preserves the planted
+    two-clique structure and is deterministic across runs."""
+    from neo4j_graph_data_science_spark.operators.leiden import (
+        LeidenConfig, leiden,
+    )
+    from neo4j_graph_data_science_spark.catalog import from_edge_list
+
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    g = from_edge_list(spark, tri1 + tri2 + [(2, 3)], n_nodes=6)
+    cfg = LeidenConfig(max_levels=2, max_local_moves=8,
+                       max_refine_moves=8, min_gain=-1.0)
+    labels, _, _ = leiden(g, cfg, parity_mode="md5")
+    # collect BEFORE the second run: truncate() re-snapshots per tag and
+    # garbage-collects the first run's files
+    first = sorted(tuple(r) for r in labels.collect())
+    got = {i: c for i, c in first}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    labels2, _, _ = leiden(g, cfg, parity_mode="md5")
+    assert sorted(tuple(r) for r in labels2.collect()) == first

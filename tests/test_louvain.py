@@ -40,3 +40,25 @@ def test_louvain_planted_partition_beats_singletons(spark):
         g, g.nodes.selectExpr("id", "id as community"), "community"
     ).collect()[0]["modularity"]
     assert mods[-1] > singleton_q
+
+
+def test_louvain_md5_parity_mode_same_structure_and_deterministic(spark):
+    """md5 parity_mode changes only WHICH improving nodes move each round;
+    on two cliques the fixpoint structure is identical to xxhash64 mode,
+    and repeat runs are bit-identical (the property the DuckDB oracle
+    louvain_md5_events_sub relies on)."""
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    g = from_edge_list(spark, tri1 + tri2 + [(2, 3)], n_nodes=6)
+    labels, _, _ = louvain(g, LouvainConfig(max_levels=2, min_gain=-1.0),
+                           parity_mode="md5")
+    # collect BEFORE the second run: truncate() re-snapshots per tag and
+    # garbage-collects the first run's files
+    first = sorted(tuple(r) for r in labels.collect())
+    got = {i: c for i, c in first}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    labels2, _, _ = louvain(g, LouvainConfig(max_levels=2, min_gain=-1.0),
+                            parity_mode="md5")
+    assert sorted(tuple(r) for r in labels2.collect()) == first

@@ -62,3 +62,22 @@ def test_celf_probabilistic_spread_bounds(spark):
     # hub 0 is the best single seed; expected spread in [1, 6]
     assert res[0]["node_id"] == 0
     assert 1.0 <= res[0]["spread"] <= 6.0
+
+
+def test_max_kcut_md5_mode_bipartite_optimum(spark):
+    """hash_mode=md5 (oracle-replayable draws) still reaches the bipartite
+    optimum: on K_{3,3} with k=2 the max cut separates the two sides."""
+    from neo4j_graph_data_science_spark.catalog import from_edge_list
+    from neo4j_graph_data_science_spark.operators.maxkcut import (
+        MaxKCutConfig, approx_max_k_cut,
+    )
+
+    edges = [(a, b) for a in range(3) for b in range(3, 6)]
+    g = from_edge_list(spark, edges, n_nodes=6)
+    part, cut = approx_max_k_cut(
+        g, MaxKCutConfig(k=2, iterations=3, local_rounds=8, hash_mode="md5"))
+    got = {r["id"]: r["community"] for r in part.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    assert cut == 9.0
