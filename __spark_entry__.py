@@ -758,6 +758,75 @@ def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_nn_descent_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-mode NN-Descent on a 60-vector slice: the init bucketing is
+    md5-derived (byte-identical in DuckDB), the scoring is exact cosine and
+    the prune tie-break is deterministic, so the ENTIRE refinement
+    trajectory (3 overlapping bucketings -> top-k prune -> 2
+    neighbor-of-neighbor rounds) replays value-exactly in SQL. The default
+    xxhash64 path (q_nn_descent) stays rows-only -- Spark-dialect hash."""
+    from neo4j_graph_data_science_spark.operators.ann import nn_descent_topk
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    out = nn_descent_topk(emb, k=5, iterations=2, hash_mode="md5")
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+def _nn_descent_md5_sql(n: int = 60, k: int = 5, iterations: int = 2,
+                        seed: int = 42) -> str:
+    """Oracle: exact replay of nn_descent_topk(md5 mode). init_buckets
+    defaults to n // (2k) = 6; bucket_j = md5int(id:seed+j) % (6+j).
+    All-pairs cosine is precomputed once (60x60 -- oracle-only luxury; the
+    Spark side scores candidates only), then the init prune and each
+    refinement round replay with the same (cosine DESC, neighbor ASC)
+    row_number tie-break."""
+    buckets = max(n // max(k * 2, 1), 1)
+    bucket_ctes = []
+    init_parts = []
+    for j in range(3):
+        m = max(buckets + j, 1)
+        bucket_ctes.append(
+            f"b{j} AS (SELECT id, ('0x' || substr(md5(id::VARCHAR || ':' || "
+            f"'{seed + j}'), 1, 15))::BIGINT % {m} AS b FROM ev)")
+        init_parts.append(
+            f"SELECT x.id AS qid, y.id AS nid FROM b{j} x JOIN b{j} y "
+            f"USING (b) WHERE x.id <> y.id")
+    prune = lambda cand, out: f"""{out} AS MATERIALIZED (
+  SELECT qid, nid, c FROM (
+    SELECT i.qid, i.nid, cos.c,
+           row_number() OVER (PARTITION BY i.qid ORDER BY cos.c DESC, i.nid ASC) AS rn
+    FROM (SELECT DISTINCT qid, nid FROM {cand}) i
+    JOIN cos ON cos.qid = i.qid AND cos.nid = i.nid
+  ) WHERE rn <= {k}
+)"""
+    rounds = [prune("init", "k0")]
+    for r in range(1, iterations + 1):
+        rounds.append(f"""u{r} AS (
+  SELECT qid, nid FROM k{r - 1} UNION SELECT nid AS qid, qid AS nid FROM k{r - 1}
+),
+p{r} AS (
+  SELECT a.qid, b.nid FROM u{r} a JOIN u{r} b ON a.nid = b.qid
+  WHERE a.qid <> b.nid
+  UNION SELECT qid, nid FROM k{r - 1}
+),
+{prune(f"p{r}", f"k{r}")}""")
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {n}
+),
+cos AS MATERIALIZED (
+  SELECT a.id AS qid, b.id AS nid,
+         sum(a.v[i] * b.v[i]) / (sqrt(sum(a.v[i] * a.v[i])) * sqrt(sum(b.v[i] * b.v[i]))) AS c
+  FROM ev a, ev b, unnest(generate_series(1, 64)) t(i)
+  WHERE a.id <> b.id GROUP BY a.id, b.id
+),
+{', '.join(bucket_ctes)},
+init AS ({' UNION '.join(init_parts)}),
+{', '.join(rounds)}
+SELECT qid AS query_id, nid AS neighbor_id, round(c, 6) AS cosine
+FROM k{iterations} ORDER BY query_id, neighbor_id"""
+
+
 def q_hashgnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.operators.embeddings import (
         HashGNNConfig, hashgnn,
@@ -835,6 +904,78 @@ def q_cnarw(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = cnarw_sample(g, CnarwSampleConfig(sampling_ratio=0.3,
                                             start_nodes=(0, 100, 200)))
     return sub.nodes.select("id")
+
+
+def q_cnarw_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-mode CNARW sampling, value-exact in DuckDB: the per-edge
+    acceptance draw is the only stochastic piece (60-bit md5-prefix int),
+    the common-neighbour overlap weights are pure relational ops, and the
+    config pins exactly max_rounds rounds (sampling_ratio=0.9 over the
+    480-node events_sub is unreachable from one seed at fanout 2 in 4
+    rounds, so the early-exit branch never fires and the oracle can unroll
+    a FIXED number of rounds). Default xxhash64 path stays rows-only."""
+    from neo4j_graph_data_science_spark.sources.generator import (
+        CnarwSampleConfig, cnarw_sample,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    sub = cnarw_sample(g, CnarwSampleConfig(
+        sampling_ratio=0.9, start_nodes=(0,), fanout=2, max_rounds=4,
+        hash_mode="md5"))
+    return sub.nodes.select("id")
+
+
+def _cnarw_md5_sql(fanout: int = 2, rounds: int = 4, seed: int = 42) -> str:
+    """Oracle: exact replay of cnarw_sample(md5 mode) -- undirected edge
+    set, degrees, per-edge common-neighbour counts (wedge join restricted
+    to edges), weight = 1 - |CN|/min(deg) + 1e-6, Efraimidis-Spirakis key
+    -ln(u)/w with u from the md5 draw, top-`fanout` per frontier node with
+    (key, dst) tie-break, `rounds` unrolled frontier expansions."""
+    round_ctes = []
+    for r in range(1, rounds + 1):
+        round_ctes.append(f"""kept{r} AS (
+  SELECT DISTINCT dst AS id FROM (
+    SELECT e.dst,
+           row_number() OVER (PARTITION BY e.s ORDER BY (-ln(e.u) / e.w) ASC, e.dst ASC) AS rn
+    FROM ew e JOIN f{r - 1} f ON e.s = f.id
+  ) WHERE rn <= {fanout}
+),
+f{r} AS (SELECT id FROM kept{r} WHERE id NOT IN (SELECT id FROM v{r - 1})),
+v{r} AS (SELECT id FROM v{r - 1} UNION SELECT id FROM f{r})""")
+    return f"""WITH {_SCC_SUB},
+{_ev_ctes("events_sub")},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges WHERE src <> dst
+),
+both_e AS (SELECT a AS s, b AS d FROM und UNION ALL SELECT b AS s, a AS d FROM und),
+deg AS (SELECT s AS id, count(*) AS dg FROM both_e GROUP BY s),
+cn AS (
+  SELECT t.a, t.b, count(*) AS cnt FROM (
+    SELECT x.s AS a, y.s AS b
+    FROM both_e x JOIN both_e y ON x.d = y.d
+    WHERE x.s < y.s
+  ) t JOIN und u ON u.a = t.a AND u.b = t.b
+  GROUP BY t.a, t.b
+),
+wt AS (
+  SELECT u.a, u.b,
+         1.0 - (coalesce(c.cnt, 0)::DOUBLE / least(da.dg, db.dg)) + 0.000001 AS w
+  FROM und u
+  LEFT JOIN cn c ON c.a = u.a AND c.b = u.b
+  JOIN deg da ON da.id = u.a
+  JOIN deg db ON db.id = u.b
+),
+ew AS MATERIALIZED (
+  SELECT s, d AS dst, w,
+         ((('0x' || substr(md5(s::VARCHAR || ':' || d::VARCHAR || ':{seed}'), 1, 15))::BIGINT
+           % 1000000007) + 0.5) / 1000000007.0 AS u
+  FROM (SELECT a AS s, b AS d, w FROM wt UNION ALL SELECT b AS s, a AS d, w FROM wt)
+),
+v0 AS (SELECT 0 AS id),
+f0 AS (SELECT 0 AS id),
+{', '.join(round_ctes)}
+SELECT id FROM v{rounds} ORDER BY id"""
 
 
 def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3036,12 +3177,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_events_sub": q_closeness,
         "wcc_consecutive_events": q_wcc_consecutive,
         "nn_descent_embeddings": q_nn_descent,
+        "nn_descent_md5_embeddings": q_nn_descent_md5,
         "node2vec_events_sub": q_node2vec,
         "spanning_tree_events_sub": q_spanning_tree,
         "transcript_pagerank_events": q_transcript_pagerank_events,
         "dijkstra_paths_events_sub": q_dijkstra_paths,
         "delta_stepping_events_sub": q_delta_stepping,
         "cnarw_sample_events_sub": q_cnarw,
+        "cnarw_md5_events_sub": q_cnarw_md5,
         "celf_events_sub": q_celf,
         "cosine_near_dup": q_cosine_near_dup,
         "degree_events": q_degree,
@@ -3526,6 +3669,8 @@ FROM votes GROUP BY doc_id ORDER BY doc_id""",
         "dijkstra_paths_events_sub": _dijkstra_sql(),
         "delta_stepping_events_sub": _delta_stepping_sql(),
         "fastrp_md5_events_sub": _fastrp_md5_sql(),
+        "nn_descent_md5_embeddings": _nn_descent_md5_sql(),
+        "cnarw_md5_events_sub": _cnarw_md5_sql(),
         "random_walks_md5_events_sub": _random_walks_md5_sql(),
         "hashgnn_md5_events_sub": _hashgnn_md5_sql(),
         "random_walks_biased_md5_events_sub": _random_walks_biased_md5_sql(),

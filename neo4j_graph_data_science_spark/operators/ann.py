@@ -226,11 +226,17 @@ def nn_descent_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     metric: str = "cosine",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine | distance): approximate k-NN graph via
     NN-Descent (reference similarity/knn/Knn.java:38 -- random init, then
     iterative refinement through neighbors-of-neighbors, the 'a neighbor of
     my neighbor is probably my neighbor' principle).
+
+    hash_mode: "xxhash64" (default; fast JVM int64 hash for the init
+    bucketing) or "md5" (60-bit int from the md5 hex prefix -- byte-identical
+    in any engine with a standard md5, which makes the entire refinement
+    trajectory DuckDB-replayable; same parity trick as fast_rp/minhash).
 
     Spark formulation: the k-NN state is a (query_id, neighbor_id) edge
     DataFrame. Init pairs nodes within hash buckets (deterministic stand-in
@@ -256,8 +262,18 @@ def nn_descent_topk(
     # bucketings make the proposal graph connected like Knn's random init
     knn = None
     for j in range(3):
-        bucket = F.pmod(F.xxhash64("_id", F.lit(seed + j)),
-                        F.lit(max(init_buckets + j, 1)))
+        if hash_mode == "md5":
+            bucket = F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("_id").cast("string"),
+                                          F.lit(str(seed + j)))),
+                        1, 15),
+                    16, 10).cast("long"),
+                F.lit(max(init_buckets + j, 1)))
+        else:
+            bucket = F.pmod(F.xxhash64("_id", F.lit(seed + j)),
+                            F.lit(max(init_buckets + j, 1)))
         tagged = c.select("_id", bucket.alias("_b"))
         pairs = (
             tagged.alias("a").join(tagged.alias("b"), "_b")

@@ -223,6 +223,9 @@ class CnarwSampleConfig:
     fanout: int = 3
     max_rounds: int = 50
     seed: int = 42
+    # "xxhash64" (default JVM hash) or "md5" (60-bit md5-prefix int,
+    # byte-identical in DuckDB, so the whole sampling walk is replayable)
+    hash_mode: str = "xxhash64"
 
 
 def cnarw_sample(graph: SparkGraph, config: CnarwSampleConfig | None = None) -> SparkGraph:
@@ -280,14 +283,28 @@ def cnarw_sample(graph: SparkGraph, config: CnarwSampleConfig | None = None) -> 
     for _ in range(cfg.max_rounds):
         if visited.count() >= target or frontier.count() == 0:
             break
-        u = (F.pmod(F.xxhash64(SRC, DST, F.lit(cfg.seed)), F.lit(1_000_000_007))
+        if cfg.hash_mode == "md5":
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(SRC).cast("string"),
+                                      F.col(DST).cast("string"),
+                                      F.lit(str(cfg.seed)))),
+                    1, 15),
+                16, 10).cast("long")
+        else:
+            h = F.xxhash64(SRC, DST, F.lit(cfg.seed))
+        u = (F.pmod(h, F.lit(1_000_000_007))
              .cast("double") + 0.5) / 1_000_000_007.0
         ranked = (
             edges_w.join(frontier.withColumnRenamed("id", SRC), SRC)
             .withColumn("_key", -F.log(u) / F.col("_w"))
         )
-        # Efraimidis-Spirakis: keep the SMALLEST -ln(u)/w keys
-        w = Window.partitionBy(SRC).orderBy(F.col("_key").asc())
+        # Efraimidis-Spirakis: keep the SMALLEST -ln(u)/w keys (dst as a
+        # deterministic secondary tie-break -- keys are hash-derived doubles
+        # so ties are measure-zero, but the replay oracle must never depend
+        # on engine-internal ordering)
+        w = Window.partitionBy(SRC).orderBy(F.col("_key").asc(),
+                                            F.col(DST).asc())
         kept = (
             ranked.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= cfg.fanout)
