@@ -827,6 +827,114 @@ SELECT qid AS query_id, nid AS neighbor_id, round(c, 6) AS cosine
 FROM k{iterations} ORDER BY query_id, neighbor_id"""
 
 
+def q_hdbscan_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-mode HDBSCAN (eps extraction) on a 60-vector slice, value-exact
+    in DuckDB: the candidate stage is md5-mode NN-Descent (euclidean; same
+    replay as nn_descent_md5), the backbone is consecutive-id pairs, core/
+    mutual-reachability weights are deterministic arithmetic, and eps-mode
+    clusters are the connected components of the eps-thresholded candidate
+    MR graph -- identical to thresholding the MST by the minimax-path
+    property, so the oracle needs closure, not an MST. Labels are min-id
+    per component (wcc min-propagation), noise = -1 below
+    min_cluster_size. Default xxhash64 path (hdbscan_embeddings) stays
+    rows-only."""
+    from neo4j_graph_data_science_spark.operators.clustering import (
+        HdbscanConfig, hdbscan,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    out = hdbscan(emb, HdbscanConfig(
+        min_pts=3, knn_k=5, nn_iterations=2, cut_distance=1.3,
+        min_cluster_size=3, extraction="eps", hash_mode="md5"),
+        id_col="vec_id")
+    return out.select("id", "cluster")
+
+
+def _hdbscan_md5_sql(n: int = 60, k: int = 5, min_pts: int = 3,
+                     iterations: int = 2, eps: float = 1.3,
+                     min_cluster_size: int = 3, seed: int = 42) -> str:
+    """Oracle: replay of hdbscan(md5, eps mode) -- euclidean NN-Descent
+    (init buckets n//(2k)=6,7,8; prune by (distance ASC, neighbor ASC));
+    backbone = consecutive ids with exact distances (UNION ALL -- the Spark
+    side does not dedupe before the core ranking); core = max distance of
+    the min_pts nearest candidates; mr = max(d, core_a, core_b) grouped min
+    per undirected pair; components of {mr <= eps} via recursive min-label
+    closure; clusters below min_cluster_size -> -1."""
+    buckets = max(n // max(k * 2, 1), 1)
+    bucket_ctes, init_parts = [], []
+    for j in range(3):
+        m = max(buckets + j, 1)
+        bucket_ctes.append(
+            f"b{j} AS (SELECT id, ('0x' || substr(md5(id::VARCHAR || ':' || "
+            f"'{seed + j}'), 1, 15))::BIGINT % {m} AS b FROM ev)")
+        init_parts.append(
+            f"SELECT x.id AS qid, y.id AS nid FROM b{j} x JOIN b{j} y "
+            f"USING (b) WHERE x.id <> y.id")
+    prune = lambda cand, out: f"""{out} AS MATERIALIZED (
+  SELECT qid, nid, d FROM (
+    SELECT i.qid, i.nid, dist.d,
+           row_number() OVER (PARTITION BY i.qid ORDER BY dist.d ASC, i.nid ASC) AS rn
+    FROM (SELECT DISTINCT qid, nid FROM {cand}) i
+    JOIN dist ON dist.qid = i.qid AND dist.nid = i.nid
+  ) WHERE rn <= {k}
+)"""
+    rounds = [prune("init", "k0")]
+    for r in range(1, iterations + 1):
+        rounds.append(f"""u{r} AS (
+  SELECT qid, nid FROM k{r - 1} UNION SELECT nid AS qid, qid AS nid FROM k{r - 1}
+),
+p{r} AS (
+  SELECT a.qid, b.nid FROM u{r} a JOIN u{r} b ON a.nid = b.qid
+  WHERE a.qid <> b.nid
+  UNION SELECT qid, nid FROM k{r - 1}
+),
+{prune(f"p{r}", f"k{r}")}""")
+    return f"""WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {n}
+),
+dist AS MATERIALIZED (
+  SELECT a.id AS qid, b.id AS nid, sqrt(sum((a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS d
+  FROM ev a, ev b, unnest(generate_series(1, 64)) t(i)
+  WHERE a.id <> b.id GROUP BY a.id, b.id
+),
+{', '.join(bucket_ctes)},
+init AS ({' UNION '.join(init_parts)}),
+{', '.join(rounds)},
+bb AS (
+  SELECT id AS qid, prev AS nid FROM (
+    SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ev
+  ) WHERE prev IS NOT NULL
+),
+cand AS (
+  SELECT qid AS a, nid AS b, d FROM k{iterations}
+  UNION ALL
+  SELECT bb.qid, bb.nid, dist.d FROM bb JOIN dist ON dist.qid = bb.qid AND dist.nid = bb.nid
+),
+core AS (
+  SELECT a AS id, max(d) AS core FROM (
+    SELECT a, d, row_number() OVER (PARTITION BY a ORDER BY d ASC, b ASC) AS rn
+    FROM cand
+  ) WHERE rn <= {min_pts} GROUP BY a
+),
+mr AS (
+  SELECT least(c.a, c.b) AS src, greatest(c.a, c.b) AS dst,
+         min(greatest(c.d, ca.core, cb.core)) AS w
+  FROM cand c JOIN core ca ON ca.id = c.a JOIN core cb ON cb.id = c.b
+  GROUP BY least(c.a, c.b), greatest(c.a, c.b)
+),
+kept AS (SELECT src, dst FROM mr WHERE w <= {eps}),
+und AS (SELECT src, dst FROM kept UNION SELECT dst AS src, src AS dst FROM kept),
+reach(id, r) AS (
+  SELECT id, id FROM ev
+  UNION
+  SELECT u.dst AS id, reach.r FROM reach JOIN und u ON reach.id = u.src
+),
+comp AS (SELECT id, min(r)::BIGINT AS component FROM reach GROUP BY id),
+sz AS (SELECT component, count(*) AS s FROM comp GROUP BY component)
+SELECT c.id, CASE WHEN sz.s >= {min_cluster_size} THEN c.component ELSE -1 END AS cluster
+FROM comp c JOIN sz ON sz.component = c.component ORDER BY c.id"""
+
+
 def q_hashgnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_data_science_spark.operators.embeddings import (
         HashGNNConfig, hashgnn,
@@ -3216,6 +3324,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_events_sub": q_louvain,
         "max_kcut_events_sub": q_max_kcut,
         "hdbscan_embeddings": q_hdbscan,
+        "hdbscan_md5_embeddings": q_hdbscan_md5,
         "wcc_min_community": q_wcc_min_size,
         "link_prediction_parts": q_link_prediction,
         "nc_pipeline_events_sub": q_nc_pipeline,
@@ -3671,6 +3780,7 @@ FROM votes GROUP BY doc_id ORDER BY doc_id""",
         "fastrp_md5_events_sub": _fastrp_md5_sql(),
         "nn_descent_md5_embeddings": _nn_descent_md5_sql(),
         "cnarw_md5_events_sub": _cnarw_md5_sql(),
+        "hdbscan_md5_embeddings": _hdbscan_md5_sql(),
         "random_walks_md5_events_sub": _random_walks_md5_sql(),
         "hashgnn_md5_events_sub": _hashgnn_md5_sql(),
         "random_walks_biased_md5_events_sub": _random_walks_biased_md5_sql(),

@@ -168,6 +168,9 @@ class HdbscanConfig:
     # reference's dendrogram walk is sequential too); this guard makes an
     # oversized collect a clear error instead of a driver OOM.
     max_collected_mst_edges: int = 2_000_000
+    # "xxhash64" (default) or "md5": forwarded to the NN-Descent candidate
+    # stage so the whole eps-mode pipeline is DuckDB-replayable
+    hash_mode: str = "xxhash64"
 
 
 def _stability_extract(ids: list, mst: list, min_cluster_size: int,
@@ -339,7 +342,7 @@ def hdbscan(vectors: DataFrame, config: HdbscanConfig | None = None,
     scored = nn_descent_topk(
         pts.select(F.col("id").alias("vec_id"), F.col("_v").alias("embedding")),
         k=max(cfg.knn_k, cfg.min_pts), iterations=cfg.nn_iterations,
-        metric="euclidean",
+        metric="euclidean", hash_mode=cfg.hash_mode,
     ).select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"),
              F.col("distance").alias("d"))
     # connectivity backbone: consecutive points in (partition-parallel)
