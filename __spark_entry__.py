@@ -773,14 +773,14 @@ def q_nn_descent_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 6).alias("cosine"))
 
 
-def _nn_descent_md5_sql(n: int = 60, k: int = 5, iterations: int = 2,
-                        seed: int = 42) -> str:
-    """Oracle: exact replay of nn_descent_topk(md5 mode). init_buckets
-    defaults to n // (2k) = 6; bucket_j = md5int(id:seed+j) % (6+j).
-    All-pairs cosine is precomputed once (60x60 -- oracle-only luxury; the
-    Spark side scores candidates only), then the init prune and each
-    refinement round replay with the same (cosine DESC, neighbor ASC)
-    row_number tie-break."""
+def _nnd_replay_ctes(n: int, k: int, iterations: int, seed: int = 42) -> str:
+    """Shared CTE body replaying nn_descent_topk(md5 mode, cosine) on the
+    vec_id < n slice: ev, all-pairs cos, md5 bucket init, k0..k{iterations}.
+    init_buckets defaults to n // (2k); bucket_j = md5int(id:seed+j) %
+    (buckets+j). All-pairs cosine is an oracle-only luxury (the Spark side
+    scores candidates only); the init prune and each refinement round
+    replay with the same (cosine DESC, neighbor ASC) row_number
+    tie-break."""
     buckets = max(n // max(k * 2, 1), 1)
     bucket_ctes = []
     init_parts = []
@@ -822,9 +822,29 @@ cos AS MATERIALIZED (
 ),
 {', '.join(bucket_ctes)},
 init AS ({' UNION '.join(init_parts)}),
-{', '.join(rounds)}
+{', '.join(rounds)}"""
+
+
+def _nn_descent_md5_sql(n: int = 60, k: int = 5, iterations: int = 2,
+                        seed: int = 42) -> str:
+    """Oracle: exact replay of nn_descent_topk(md5 mode) -- see
+    _nnd_replay_ctes."""
+    return f"""{_nnd_replay_ctes(n, k, iterations, seed)}
 SELECT qid AS query_id, nid AS neighbor_id, round(c, 6) AS cosine
 FROM k{iterations} ORDER BY query_id, neighbor_id"""
+
+
+def _filtered_knn_md5_sql(n: int = 60, k: int = 5, oversample: int = 3,
+                          iterations: int = 2, seed: int = 42) -> str:
+    """Oracle: filtered_knn(md5 mode) = nn_descent replay at list size
+    k*oversample, then source/target filters (query % 3 = 0 /
+    neighbor % 2 = 1) and per-source re-rank to k."""
+    return f"""{_nnd_replay_ctes(n, k * oversample, iterations, seed)}
+SELECT qid AS query_id, nid AS neighbor_id, round(c, 6) AS cosine FROM (
+  SELECT qid, nid, c,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rn
+  FROM k{iterations} WHERE qid % 3 = 0 AND nid % 2 = 1
+) WHERE rn <= {k} ORDER BY query_id, neighbor_id"""
 
 
 def q_hdbscan_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1222,10 +1242,13 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded hyperplane-LSH prefilter + exact verify -- the scale path
-    (recall < 1 by design, so rows-only). Band shape (8 bands x 2 planes)
-    is tuned for this query's LOW threshold (0.45 = wide angle); real
-    near-dup thresholds (>=0.9) use the default 4x4."""
+    """Banded hyperplane-LSH prefilter + exact verify -- the scale path.
+    Recall < 1 vs the exact twin by design, but the LSH trajectory itself
+    is deterministic (hash-derived planes), so the oracle replays the SAME
+    banded bucketing with literal plane values and matches value-exactly.
+    Band shape (8 bands x 2 planes) is tuned for this query's LOW
+    threshold (0.45 = wide angle); real near-dup thresholds (>=0.9) use
+    the default 4x4."""
     emb = load(spark, sf_dir, "embeddings")
     out = cosine_near_duplicates(emb, threshold=0.45, method="lsh",
                                  bands=8, planes_per_band=2)
@@ -2362,13 +2385,119 @@ def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 6).alias("cosine"))
 
 
+def q_filtered_knn_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-mode filtered KNN on a 60-vector slice: the full NN-Descent
+    search at list size k*oversample replays in DuckDB (same machinery as
+    nn_descent_md5), then the source/target filters and per-source re-rank
+    are plain SQL -- value-exact."""
+    from neo4j_graph_data_science_spark.operators.ann import filtered_knn
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    out = filtered_knn(emb, k=5, iterations=2,
+                       source_filter="node % 3 = 0",
+                       target_filter="node % 2 = 1",
+                       hash_mode="md5")
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
 # ---- rows-only queries (no SQL-expressible oracle) ------------------------
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k, DuckDB-verified: the 8 hyperplanes are
+    hash-derived (no RNG state), so the oracle embeds the SAME plane
+    values as literals and replays signature bucketing + in-bucket exact
+    cosine + (cosine DESC, neighbor ASC) top-k value-exactly."""
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries_df, k=5, n_planes=8)
+    out = lsh_topk(emb, queries_df, k=5, n_planes=8)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+def _ann_lsh_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
+    """Oracle for q_ann_lsh: identical literal hyperplanes (same
+    _hyperplanes call), signature = concat of sign bits of v . plane_p,
+    bucket join, exact cosine within bucket, top-k."""
+    from neo4j_graph_data_science_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    rows = ", ".join(
+        f"({p}, {i + 1}, {x!r})"
+        for p, pl in enumerate(planes) for i, x in enumerate(pl)
+    )
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+pl(p, i, x) AS (VALUES {rows}),
+sigs AS MATERIALIZED (
+  SELECT vec_id, string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM (
+    SELECT e.vec_id, pl.p, sum(e.v[pl.i] * pl.x) AS d
+    FROM ev e JOIN pl ON true GROUP BY e.vec_id, pl.p
+  ) GROUP BY vec_id
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c USING (sig)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         sum(a.v[i] * b.v[i]) / (sqrt(sum(a.v[i] * a.v[i])) * sqrt(sum(b.v[i] * b.v[i]))) AS cosine
+  FROM cand cd
+  JOIN ev a ON a.vec_id = cd.query_id
+  JOIN ev b ON b.vec_id = cd.neighbor_id,
+  unnest(generate_series(1, {dim})) t(i)
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k} ORDER BY query_id, neighbor_id"""
+
+
+def _cosine_lsh_sql(threshold: float = 0.45, bands: int = 8,
+                    planes_per_band: int = 2, dim: int = 64) -> str:
+    """Oracle for q_cosine_near_dup_lsh: same literal hyperplanes
+    (_hyperplanes, band = plane_idx // planes_per_band), band signatures,
+    per-band bucket join (a < b, distinct), exact cosine >= threshold."""
+    from neo4j_graph_data_science_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, bands * planes_per_band)
+    rows = ", ".join(
+        f"({p}, {p // planes_per_band}, {i + 1}, {x!r})"
+        for p, pl in enumerate(planes) for i, x in enumerate(pl)
+    )
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+pl(p, band, i, x) AS (VALUES {rows}),
+sigs AS MATERIALIZED (
+  SELECT vec_id, band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM (
+    SELECT e.vec_id, pl.band, pl.p, sum(e.v[pl.i] * pl.x) AS d
+    FROM ev e JOIN pl ON true GROUP BY e.vec_id, pl.band, pl.p
+  ) GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b USING (band, sig)
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cd.vec_a, cd.vec_b,
+         sum(a.v[i] * b.v[i]) / (sqrt(sum(a.v[i] * a.v[i])) * sqrt(sum(b.v[i] * b.v[i]))) AS cosine
+  FROM cand cd
+  JOIN ev a ON a.vec_id = cd.vec_a
+  JOIN ev b ON b.vec_id = cd.vec_b,
+  unnest(generate_series(1, {dim})) t(i)
+  GROUP BY cd.vec_a, cd.vec_b
+)
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM scored
+WHERE cosine >= {threshold} ORDER BY vec_a, vec_b"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3317,6 +3446,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_similarity_customers": q_node_similarity,
         "bf_negative_cycle_ring": q_bf_negative_cycle,
         "filtered_knn_embeddings": q_filtered_knn,
+        "filtered_knn_md5_embeddings": q_filtered_knn_md5,
         "pagerank_events": q_pagerank,
         "clique_counts_parts_mod": q_clique_counts,
         "steiner_events_sub": q_steiner,
@@ -3781,6 +3911,9 @@ FROM votes GROUP BY doc_id ORDER BY doc_id""",
         "nn_descent_md5_embeddings": _nn_descent_md5_sql(),
         "cnarw_md5_events_sub": _cnarw_md5_sql(),
         "hdbscan_md5_embeddings": _hdbscan_md5_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "cosine_near_dup_lsh": _cosine_lsh_sql(),
+        "filtered_knn_md5_embeddings": _filtered_knn_md5_sql(),
         "random_walks_md5_events_sub": _random_walks_md5_sql(),
         "hashgnn_md5_events_sub": _hashgnn_md5_sql(),
         "random_walks_biased_md5_events_sub": _random_walks_biased_md5_sql(),

@@ -336,6 +336,7 @@ def filtered_knn(
     vec_col: str = "embedding",
     seed: int = 42,
     metric: str = "cosine",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Filtered k-NN (reference similarity/filteredknn/FilteredKnn.java:
     sourceNodeFilter / targetNodeFilter over the KNN result stream).
@@ -353,7 +354,8 @@ def filtered_knn(
 
     raw = nn_descent_topk(corpus, k=k * max(oversample, 1),
                           iterations=iterations, id_col=id_col,
-                          vec_col=vec_col, seed=seed, metric=metric)
+                          vec_col=vec_col, seed=seed, metric=metric,
+                          hash_mode=hash_mode)
     score_col = "cosine" if metric == "cosine" else "distance"
     if source_filter:
         raw = raw.filter(F.expr(_re.sub(r"\bnode\b", "query_id", source_filter)))
