@@ -325,6 +325,120 @@ def nn_descent_topk(
     return knn.select("query_id", "neighbor_id", out_score)
 
 
+def _unit(vec, decimals: int = 9):
+    """L2-normalize an array<double> column, rounding each coordinate to
+    ``decimals`` places. The rounding pins cross-engine float parity: the
+    quantizer's argmin assignment then depends only on values both Spark
+    and the DuckDB oracle compute identically (same trick as the contract
+    queries' round-6 outputs, applied one layer earlier because the
+    assignment FEEDS later stages instead of being the output)."""
+    n = F.sqrt(F.aggregate(
+        F.zip_with(vec, vec, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+    return F.transform(vec, lambda x: F.round(x.cast("double") / safe, decimals))
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    quantizer_iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[DataFrame, DataFrame]":
+    """Build an IVF (inverted-file) index: train a deterministic Lloyd
+    coarse quantizer on the L2-NORMALIZED corpus (angular IVF: euclidean on
+    the unit sphere orders identically to cosine), assign every vector to
+    its nearest centroid. Returns ``(lists, centroids)``:
+    lists = (id, cell) -- the inverted lists, centroids = (cell, cvec).
+
+    Scale shape (the FAISS IVF-Flat layout re-expressed in Spark): the
+    centroid table is tiny (n_cells rows) and broadcast everywhere; the
+    corpus is scanned ONCE per Lloyd round (broadcast crossJoin + argmin,
+    map-side, no corpus shuffle). At 100-TB scale train on a deterministic
+    corpus sample, then persist ``lists`` bucketed by cell so repeated
+    query batches join without re-assigning -- build once, probe many."""
+    from .clustering import lloyd_loop
+
+    v = corpus.select(
+        F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("vec")
+    ).localCheckpoint(eager=True)
+    assign, cent = lloyd_loop(v, n_cells, quantizer_iterations)
+    return (assign.select("id", F.col("community").alias("cell")),
+            cent.select(F.col("community").alias("cell"), "cvec"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    quantizer_iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: "tuple[DataFrame, DataFrame] | None" = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine): IVF-Flat approximate top-k -- the
+    third ANN scale path beside hyperplane LSH and NN-Descent. Each query
+    probes its ``n_probe`` nearest quantizer cells and is scored exactly
+    (true cosine on the raw vectors) against only those cells' inverted
+    lists: ~n_probe/n_cells of the corpus per query instead of all of it.
+    ``n_probe = n_cells`` degrades gracefully to exact brute force (every
+    cell probed), the classic IVF recall dial.
+
+    Fully deterministic (pinned Lloyd quantizer + rounded normalization +
+    (cosine desc, neighbor_id) tie-break), so the whole pipeline --
+    quantizer training, cell assignment, probe choice, re-rank -- is
+    value-exactly replayable in DuckDB (contract query ivf_topk_embeddings).
+
+    Plan shape per stage: quantizer = broadcast crossJoin per round (no
+    corpus shuffle); probe = queries x broadcast centroids; candidates =
+    one shuffle join keyed by cell (AQE splits a hot cell); re-rank =
+    candidates join the two vector tables then a per-query window top-k.
+    Nothing ever materializes the |Q| x N pair space."""
+    lists, cent = index if index is not None else ivf_index(
+        corpus, n_cells, quantizer_iterations, id_col, vec_col)
+
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit(F.col(vec_col)).alias("_qn"),
+        F.col(vec_col).alias("_qv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("_qn", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    probe_win = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("cell").asc())
+    probes = (
+        qn.crossJoin(F.broadcast(cent))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(probe_win))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+    cand = (
+        probes.join(lists.withColumnRenamed("id", "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_qv", "neighbor_id")
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cv"))
+    scored = cand.join(cv, "neighbor_id").select(
+        "query_id", "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def filtered_knn(
     corpus: DataFrame,
     k: int = 10,

@@ -102,6 +102,19 @@ def lloyd_kmeans(vectors: DataFrame, k: int = 4, iterations: int = 5,
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).localCheckpoint(eager=True)
+    final, _cent = lloyd_loop(v, k, iterations)
+    return final.select(
+        "id", "community", F.sqrt("_d2").alias("distance_from_centroid"))
+
+
+def lloyd_loop(v: DataFrame, k: int,
+               iterations: int) -> "tuple[DataFrame, DataFrame]":
+    """The deterministic Lloyd loop over a prepared (id, vec) DataFrame
+    (``vec`` array<double>, already materialized). Returns
+    ``(assign, centroids)``: assign = (id, community, _d2 squared distance),
+    centroids = (community, cvec) AFTER the final update -- the table the
+    final assignment was computed against. Shared by ``lloyd_kmeans`` and
+    the IVF coarse quantizer (operators/ann.ivf_index)."""
     from pyspark.sql.window import Window
 
     cent = (
@@ -144,8 +157,7 @@ def lloyd_kmeans(vectors: DataFrame, k: int = 4, iterations: int = 5,
             .localCheckpoint(eager=True)
         )
     final = assign(cent)
-    return final.select(
-        "id", "community", F.sqrt("_d2").alias("distance_from_centroid"))
+    return final, cent
 
 
 def kmeans_node_property(graph: SparkGraph, property_col: str,
