@@ -13,6 +13,12 @@ checkpointing, which plans/checkpoint.py provides. This module adds what a
     new turns ONLY (window functions need the full conv, so late turns are
     bounded by the watermark and conversations are re-derived per batch
     from the delta + tail state).
+  * ``streaming_conversation_state``: a CUSTOM STATEFUL operator via
+    ``applyInPandasWithState`` -- per-conversation session state (turn and
+    tool-call tallies, last turn index) maintained across micro-batches,
+    with inactivity-timeout finalization. This is the shape Spark offers
+    for operators that windowed aggregation cannot express (arbitrary
+    per-key state machines over the transcript feed).
 
 Both are thin, testable wiring: the heavy lifting stays in the batch
 operators; foreachBatch reuses them unchanged -- the recommended Spark
@@ -49,6 +55,112 @@ def streaming_edge_counts(
             "turns",
         )
     )
+
+
+def streaming_conversation_state(
+    transcripts_stream: DataFrame,
+    inactivity_timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Per-conversation session tracking as an arbitrary-stateful streaming
+    operator (``applyInPandasWithState``, keyed by conv_id).
+
+    Each micro-batch folds the conversation's new turns into its state
+    (turns seen, tool-call count, highest turn_idx); an update row is
+    emitted per touched conversation per trigger (is_final=false). A
+    conversation idle longer than ``inactivity_timeout_ms`` of processing
+    time is FINALIZED: its state is removed and a last row with
+    is_final=true emitted -- the sessionization pattern windowed aggs
+    can't express (state lifetime depends on data, not wall-clock bins).
+
+    Scale shape: state lives in the state store partitioned by key hash
+    (RocksDB-backed on a real cluster); each micro-batch shuffles only the
+    NEW turns by conv_id; Arrow-batched pandas per key group, never
+    per-row Python."""
+    import pandas as pd  # noqa: PLC0415 -- worker-side import kept local
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    out_schema = StructType([
+        StructField("conv_id", StringType()),
+        StructField("turns", LongType()),
+        StructField("tool_calls", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+        StructField("is_final", BooleanType()),
+    ])
+    state_schema = StructType([
+        StructField("turns", LongType()),
+        StructField("tool_calls", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            turns, tools, mx = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "conv_id": [conv_id], "turns": [turns],
+                "tool_calls": [tools], "max_turn_idx": [mx],
+                "is_final": [True],
+            })
+            return
+        turns, tools, mx = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            turns += len(pdf)
+            tools += int(pdf["tool"].notna().sum())
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((turns, tools, mx))
+        state.setTimeoutDuration(inactivity_timeout_ms)
+        yield pd.DataFrame({
+            "conv_id": [conv_id], "turns": [turns], "tool_calls": [tools],
+            "max_turn_idx": [mx], "is_final": [False],
+        })
+
+    return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def await_stream_drained(sq, timeout_s: float = 300.0, until=None) -> bool:
+    """Wait until an availableNow STATEFUL stream has consumed all its
+    input -- a completed batch with numInputRows == 0 -- or ``until()``
+    returns True, then stop it. Returns True if drained, False on timeout
+    (the query is stopped either way).
+
+    Needed because a query holding ``applyInPandasWithState`` state with
+    ProcessingTimeTimeout keeps scheduling no-data micro-batches to
+    evaluate pending timeouts, so Trigger.AvailableNow never
+    self-terminates (observed on Spark 4.1: empty batches continue even
+    after every key's state is removed). awaitTermination() would block
+    for its full timeout; polling progress is the reliable completion
+    signal."""
+    import time
+
+    deadline = time.time() + timeout_s
+    drained = False
+    while time.time() < deadline:
+        if until is not None and until():
+            drained = True
+            break
+        lp = sq.lastProgress
+        if lp is not None and lp.get("numInputRows", 1) == 0 and until is None:
+            drained = True
+            break
+        if not sq.isActive:
+            drained = True
+            break
+        time.sleep(0.5)
+    try:
+        sq.stop()
+    except Exception:
+        pass
+    return drained
 
 
 def degree_update_batch_fn(

@@ -193,6 +193,72 @@ def test_cli_pagerank_roundtrip(spark, tmp_path):
     assert "score" in result.columns and "conv_id" in result.columns
 
 
+def test_streaming_conversation_state(spark, tmp_path):
+    # applyInPandasWithState sessionization: per-conv state accumulates
+    # across the stream and matches a batch groupBy of the same source
+    from neo4j_graph_data_science_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+    from neo4j_graph_data_science_spark.streaming.incremental import (
+        streaming_conversation_state,
+    )
+    from pyspark.sql import functions as F
+
+    from neo4j_graph_data_science_spark.streaming.incremental import (
+        await_stream_drained,
+    )
+
+    src_dir = str(tmp_path / "state_src")
+    batch = synthesize_transcripts(spark, n_convs=15, max_turns=8)
+    batch.write.parquet(src_dir)
+    n_convs = batch.select("conv_id").distinct().count()
+    schema = spark.read.parquet(src_dir).schema
+    # two micro-batches (2 files) so state genuinely carries across batches;
+    # a short inactivity timeout so the hasTimedOut finalization branch
+    # fires within the test
+    spark.read.parquet(src_dir).repartition(2).write.mode("overwrite") \
+        .parquet(src_dir + "2")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir + "2"))
+    out = streaming_conversation_state(stream, inactivity_timeout_ms=2000)
+    q = (
+        out.writeStream.format("memory").queryName("conv_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+
+    def finals_done():
+        return (spark.sql(
+            "SELECT count(*) c FROM conv_state WHERE is_final"
+        ).collect()[0]["c"] >= n_convs)
+
+    assert await_stream_drained(q, timeout_s=120.0, until=finals_done)
+    # per-conv running state is monotone: max over update rows = final tally
+    got = {
+        r["conv_id"]: (r["t"], r["tc"], r["mx"])
+        for r in spark.sql(
+            "SELECT conv_id, max(turns) t, max(tool_calls) tc,"
+            "       max(max_turn_idx) mx FROM conv_state"
+            " WHERE NOT is_final GROUP BY conv_id").collect()
+    }
+    expected = {
+        r["conv_id"]: (r["t"], r["tc"], r["mx"])
+        for r in batch.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("t"),
+            F.count("tool").alias("tc"),
+            F.max("turn_idx").alias("mx"),
+        ).collect()
+    }
+    assert got == expected
+    # the timeout branch emitted exactly one final row per conversation,
+    # and it matches the accumulated state
+    finals = {
+        r["conv_id"]: (r["turns"], r["tool_calls"], r["max_turn_idx"])
+        for r in spark.sql(
+            "SELECT * FROM conv_state WHERE is_final").collect()
+    }
+    assert finals == expected
+
+
 def test_degree_update_batch_overwrites(spark, tmp_path):
     # reprocessing a conversation must REPLACE its degree rows, not leave
     # stale duplicates from the earlier batch
