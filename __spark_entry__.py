@@ -1217,6 +1217,109 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (the third scale path beside hyperplane LSH and
+    NN-Descent): deterministic Lloyd coarse quantizer on the normalized
+    corpus, 2-of-4 cell probe, exact cosine re-rank inside the probed
+    inverted lists. The full pipeline -- quantizer rounds, cell assignment,
+    probe choice, re-rank -- replays value-exactly in DuckDB (_ivf_sql)."""
+    from neo4j_graph_data_science_spark.operators.ann import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 25), k=10,
+                   n_cells=4, n_probe=2, quantizer_iterations=3)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+def _ivf_sql(k: int = 10, n_cells: int = 4, n_probe: int = 2,
+             iterations: int = 3, dim: int = 64) -> str:
+    """Oracle: replay the IVF pipeline -- L2-normalize (each coordinate
+    rounded to 9 dp, exactly like operators/ann._unit, which pins the
+    cross-engine float parity of every later argmin), run the same pinned
+    Lloyd rounds as _lloyd_kmeans_sql over the normalized coords, assign
+    corpus vectors to final cells, probe each query's n_probe nearest
+    cells ((d2, cell) tie-break), then exact cosine re-rank on the RAW
+    vectors within the probed lists."""
+    parts = [f"""ev AS MATERIALIZED (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+)""", """nrm AS (SELECT id, sqrt(sum(x * x)) AS n FROM ev GROUP BY id)""",
+        """evn AS MATERIALIZED (
+  SELECT e.id, e.pos,
+         round(e.x / (CASE WHEN nrm.n = 0 THEN 1 ELSE nrm.n END), 9) AS x
+  FROM ev e JOIN nrm ON nrm.id = e.id
+)""", f"""c0 AS MATERIALIZED (
+  SELECT s.community, e.pos, e.x
+  FROM (SELECT id, row_number() OVER (ORDER BY id) - 1 AS community
+        FROM (SELECT DISTINCT id FROM evn ORDER BY id LIMIT {n_cells})) s
+  JOIN evn e ON e.id = s.id
+)"""]
+    for t in range(iterations):
+        parts.append(f"""d{t} AS (
+  SELECT e.id, c.community, sum((e.x - c.x) * (e.x - c.x)) AS d2
+  FROM evn e JOIN c{t} c ON c.pos = e.pos GROUP BY e.id, c.community
+),
+a{t} AS MATERIALIZED (
+  SELECT id, community FROM (
+    SELECT id, community,
+           row_number() OVER (PARTITION BY id ORDER BY d2, community) AS rn
+    FROM d{t}) WHERE rn = 1
+),
+n{t} AS (
+  SELECT a.community, e.pos, avg(e.x) AS x
+  FROM a{t} a JOIN evn e ON e.id = a.id GROUP BY a.community, e.pos
+),
+c{t + 1} AS MATERIALIZED (
+  SELECT c.community, c.pos, coalesce(n.x, c.x) AS x
+  FROM c{t} c LEFT JOIN n{t} n ON n.community = c.community AND n.pos = c.pos
+)""")
+    T = iterations
+    return f"""WITH {', '.join(parts)},
+lists AS MATERIALIZED (
+  SELECT id, community AS cell FROM (
+    SELECT e.id, c.community,
+           row_number() OVER (PARTITION BY e.id ORDER BY
+             sum((e.x - c.x) * (e.x - c.x)), c.community) AS rn
+    FROM evn e JOIN c{T} c ON c.pos = e.pos GROUP BY e.id, c.community
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, community AS cell FROM (
+    SELECT e.id AS query_id, c.community,
+           row_number() OVER (PARTITION BY e.id ORDER BY
+             sum((e.x - c.x) * (e.x - c.x)), c.community) AS rn
+    FROM evn e JOIN c{T} c ON c.pos = e.pos
+    WHERE e.id < 25 GROUP BY e.id, c.community
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, l.id AS neighbor_id
+  FROM probes p JOIN lists l ON l.cell = p.cell
+  WHERE l.id <> p.query_id
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 25),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+dots AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         sum(qv[i] * cv[i]) AS dp,
+         sum(qv[i] * qv[i]) AS na,
+         sum(cv[i] * cv[i]) AS nb
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN c ON c.neighbor_id = cand.neighbor_id, unnest(generate_series(1, {dim})) t(i)
+  GROUP BY cand.query_id, cand.neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, dp / (sqrt(na) * sqrt(nb)) AS cosine FROM dots
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k} ORDER BY query_id, neighbor_id"""
+
+
 def q_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered KNN semantics (similarity/filteredknn/FilteredKnn.java:
     sourceNodeFilter / targetNodeFilter) on the exact brute-force path, so
@@ -2524,24 +2627,15 @@ def q_transcript_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRANSCRIPT_PR_ITERS = 15
 
 
-def q_transcript_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-rule pipeline end-to-end WITH a DuckDB oracle: a
-    transcript-shaped table (conv_id, turn_idx, role, text, tool, ts --
-    BASELINE.json input_hint) derived deterministically from the events
-    parquet (so the oracle can mirror the derivation in SQL), run through
-    the production NEXT/TOOL/ROLE edge induction
-    (sources/transcripts.derive_edges) + dense (conv_id, turn_idx) id map +
-    15 unrolled PageRank iterations. The output keeps the text column, so
-    the per-turn text-equality invariant under stable (conv_id, turn_idx)
-    ordering is value-checked by the gate alongside the scores."""
+def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint-shaped transcript table (conv_id, turn_idx, role,
+    text, tool, ts) derived DETERMINISTICALLY from the events parquet, so
+    DuckDB oracles can mirror the derivation in SQL. Shared by the
+    end-to-end PageRank pipeline query and the streaming sessionization
+    query."""
     from pyspark.sql.window import Window
 
-    from neo4j_graph_data_science_spark.sources.transcripts import (
-        ROLES,
-        TOOLS,
-        derive_edges,
-        transcript_id_map,
-    )
+    from neo4j_graph_data_science_spark.sources.transcripts import ROLES, TOOLS
 
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2561,7 +2655,7 @@ def q_transcript_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(eid, F.lit(8)) + 1).cast("int"),
         ),
     ).otherwise(F.lit(None).cast("string"))
-    t = (
+    return (
         ev.select(
             F.format_string("u%06d", F.col("user_id")).alias("conv_id"),
             (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
@@ -2576,6 +2670,24 @@ def q_transcript_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_transcript_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule pipeline end-to-end WITH a DuckDB oracle: a
+    transcript-shaped table (conv_id, turn_idx, role, text, tool, ts --
+    BASELINE.json input_hint) derived deterministically from the events
+    parquet (so the oracle can mirror the derivation in SQL), run through
+    the production NEXT/TOOL/ROLE edge induction
+    (sources/transcripts.derive_edges) + dense (conv_id, turn_idx) id map +
+    15 unrolled PageRank iterations. The output keeps the text column, so
+    the per-turn text-equality invariant under stable (conv_id, turn_idx)
+    ordering is value-checked by the gate alongside the scores."""
+    from neo4j_graph_data_science_spark.sources.transcripts import (
+        derive_edges,
+        transcript_id_map,
+    )
+
+    t = _derived_transcripts(spark, sf_dir)
     idm = transcript_id_map(t, dense=True)
     edges = derive_edges(t, idm)
     g = SparkGraph(nodes=idm.select("id"), edges=edges, id_map=idm)
@@ -2594,6 +2706,76 @@ def q_transcript_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score") + F.lit(1e-6), 3).alias("score")
         )
     )
+
+
+def q_transcript_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator end-to-end with a DuckDB oracle:
+    the derived transcript table is replayed as a multi-micro-batch file
+    stream (maxFilesPerTrigger=1 over 4 files), per-conversation session
+    state (turns, tool calls, max turn_idx) is maintained across batches by
+    ``streaming_conversation_state`` (applyInPandasWithState), and the
+    FINAL accumulated state per conversation is returned -- state is
+    monotone, so max over the update rows is the final state regardless of
+    how the file source batched the input. The oracle is the equivalent
+    batch GROUP BY over the same derived table: streaming + state store +
+    timeout wiring must reproduce the batch answer exactly."""
+    import tempfile
+    import uuid
+
+    from neo4j_graph_data_science_spark.streaming.incremental import (
+        streaming_conversation_state,
+    )
+
+    t = _derived_transcripts(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="gds_sessions_src_")
+    t.repartition(4).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = streaming_conversation_state(stream)
+    qname = f"sessions_{uuid.uuid4().hex[:8]}"
+    sq = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    # drain-then-stop: availableNow never self-terminates while
+    # applyInPandasWithState timeouts are armed (empty timeout-evaluation
+    # batches keep scheduling), and a wedged streaming query is NOT killed
+    # by the watchdog's job-group cancellation either -- so completion is
+    # detected from progress (all input consumed) and the query stopped
+    # explicitly. Only non-final update rows feed the result, and those
+    # are all emitted while input batches run.
+    from neo4j_graph_data_science_spark.streaming.incremental import (
+        await_stream_drained,
+    )
+
+    if not await_stream_drained(sq, timeout_s=240.0):
+        raise TimeoutError("transcript_sessions_state stream did not drain "
+                           "its input within 240s; query stopped")
+    upd = spark.table(qname).filter(~F.col("is_final"))
+    return (
+        upd.groupBy("conv_id")
+        .agg(F.max("turns").alias("turns"),
+             F.max("tool_calls").alias("tool_calls"),
+             F.max("max_turn_idx").alias("max_turn_idx"))
+    )
+
+
+def _transcript_sessions_sql() -> str:
+    """Oracle: batch GROUP BY over the same deterministic transcript
+    derivation (mirrors _derived_transcripts; only conv_id / turn_idx /
+    tool matter for the session state)."""
+    return """WITH base AS (
+  SELECT printf('u%06d', user_id) AS conv_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         CASE WHEN abs(event_id) % 3 = 0 THEN 1 END AS tool_flag
+  FROM events
+)
+SELECT conv_id, count(*)::BIGINT AS turns, count(tool_flag)::BIGINT AS tool_calls,
+       max(turn_idx)::INT AS max_turn_idx
+FROM base GROUP BY conv_id ORDER BY conv_id"""
 
 
 def _transcript_pr_sql(iters: int = TRANSCRIPT_PR_ITERS) -> str:
@@ -3386,6 +3568,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "estimate_pagerank": q_estimate,
         "kmeans_embeddings": q_kmeans,
         "lloyd_kmeans_embeddings": q_lloyd_kmeans,
+        "ivf_topk_embeddings": q_ivf_topk,
         "bellman_ford_neg_events_sub": q_bellman_ford_neg,
         "hashgnn_events_sub": q_hashgnn,
         "hashgnn_md5_events_sub": q_hashgnn_md5,
@@ -3418,6 +3601,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_events_sub": q_node2vec,
         "spanning_tree_events_sub": q_spanning_tree,
         "transcript_pagerank_events": q_transcript_pagerank_events,
+        "transcript_sessions_state": q_transcript_sessions,
         "dijkstra_paths_events_sub": q_dijkstra_paths,
         "delta_stepping_events_sub": q_delta_stepping,
         "cnarw_sample_events_sub": q_cnarw,
@@ -3487,6 +3671,7 @@ FROM nodes n LEFT JOIN (
         "pagerank_events": _pagerank_sql(),
         "pagerank_scaled_events": _pagerank_sql(scaled=True),
         "transcript_pagerank_events": _transcript_pr_sql(),
+        "transcript_sessions_state": _transcript_sessions_sql(),
         "yens_costs_events_sub": _yens_costs_sql(),
         "yens_paths_events_sub": _yens_paths_sql(),
         "prize_steiner_events_sub": _prize_steiner_sql(),
@@ -3918,6 +4103,7 @@ FROM votes GROUP BY doc_id ORDER BY doc_id""",
         "hashgnn_md5_events_sub": _hashgnn_md5_sql(),
         "random_walks_biased_md5_events_sub": _random_walks_biased_md5_sql(),
         "lloyd_kmeans_embeddings": _lloyd_kmeans_sql(),
+        "ivf_topk_embeddings": _ivf_sql(),
         "astar_paths_events_sub": _astar_sql(),
         "bellman_ford_neg_events_sub": _bellman_ford_neg_sql(),
         "dag_longest_events_sub": _dag_longest_sql(),
