@@ -74,7 +74,7 @@ def _run_scaling() -> dict:
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=float(os.environ.get(
-                                 "SPARK_GRAFT_SCALING_TIMEOUT", "3600")))
+                                 "SPARK_GRAFT_SCALING_TIMEOUT", "7200")))
         line = [l for l in out.stdout.strip().splitlines()
                 if l.startswith("{")][-1]
         res = json.loads(line)["scaling"][0]

@@ -69,6 +69,58 @@ def truncate(df: DataFrame, tag: str = "t", keep: int = 2) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def truncate_mem(df: DataFrame) -> DataFrame:
+    """Stats-safe lineage truncation WITHOUT the parquet round-trip.
+
+    Persist + materialize the frame, then rewrap its executed plan's
+    RDD[InternalRow] in a fresh LogicalRDD via
+    ``SparkSession.internalCreateDataFrame`` (JVM-side only -- no Python
+    serialization). Unlike ``Dataset.localCheckpoint`` the new LogicalRDD
+    carries DEFAULT stats instead of the compounded estimate
+    (`rewriteStatsAndConstraints` is what produced the k^round BigInteger
+    blowup -- see ``truncate``), and unlike ``truncate`` nothing touches
+    disk, so a batched-superstep boundary costs one in-memory
+    materialization instead of a full state write+read. AQE re-plans
+    downstream joins from ACTUAL runtime sizes, so the default stats don't
+    mis-plan anything that matters.
+
+    The persisted source is pinned on the returned frame as
+    ``_gds_backing`` -- callers that rotate state across iterations must
+    unpersist it (``unpersist_truncated``) or the cache leaks one state
+    copy per boundary. Falls back to the parquet round-trip if the
+    internal JVM API is unavailable."""
+    p = df.persist()
+    p.count()
+    try:
+        jdf = p._jdf
+        jspark = df.sparkSession._jsparkSession
+        fresh = DataFrame(
+            jspark.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False),
+            df.sparkSession,
+        )
+    except Exception:
+        p.unpersist()
+        return truncate(df, "mem_fallback")
+    fresh._gds_backing = p
+    return fresh
+
+
+def unpersist_truncated(df: DataFrame) -> None:
+    """Unpersist a frame AND the persisted backing a ``truncate_mem``
+    wrapper recomputes from (no-op for ordinary frames)."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    backing = getattr(df, "_gds_backing", None)
+    if backing is not None:
+        try:
+            backing.unpersist()
+        except Exception:
+            pass
+
+
 def _has_iceberg(spark: SparkSession) -> bool:
     try:
         jconf = spark.conf

@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import DST, SRC, W
-from .checkpoint import CheckpointManager, truncate
+from .checkpoint import CheckpointManager, truncate_mem, unpersist_truncated
 
 Reducers: dict[str, Callable[[Column], Column]] = {
     # Reducer.java:34-86 -- Sum (identity 0), Min, Max, Count
@@ -65,6 +65,18 @@ class PregelConfig:
     # state twice, e.g. WCC pointer jumping, grow 2^k-fold) and Catalyst
     # analysis time blows up
     truncate_every: int = 2
+    # AQE inside the superstep loop. AQE re-plans EVERY shuffle stage of
+    # EVERY superstep job on the driver -- measured round 3 on the 31M-edge
+    # scaling graph at local[8]: loop throughput 1.36M edges/s/superstep
+    # with AQE on vs 3.41M with it off (2.5x), because the superstep's plan
+    # shape is static (pre-partitioned edges, hash-uniform ids) so runtime
+    # re-planning buys nothing and its per-stage driver barrier serializes
+    # the job. Map-side combine already bounds reduce-side hubs; the state
+    # join keys are near-uniform. Leave False unless a workload has
+    # join-side skew the static plan can't absorb (then AQE's skew-join
+    # split pays for its latency). Toggled via runtime conf around the
+    # loop and restored after.
+    aqe_in_loop: bool = False
     # supersteps per materialization + convergence check. 1 = classic BSP
     # (one action per superstep). k>1 chains k supersteps LAZILY and runs
     # them as ONE Spark job per boundary -- on overhead-bound graphs (small
@@ -72,10 +84,11 @@ class PregelConfig:
     # AQE replan, stats action) dominates wall time, and batching divides it
     # by k. Convergence detection is delayed by at most k-1 supersteps
     # (results are the same or MORE converged); fixed-iteration runs are
-    # bit-identical. Boundaries materialize via the stats-safe parquet
-    # round-trip (plans/checkpoint.truncate), because a k-deep chain whose
-    # supersteps reference the state twice compounds localCheckpoint's
-    # estimated sizeInBytes 2^k-fold per boundary. Keep k SMALL: the
+    # bit-identical. Boundaries materialize via the stats-safe IN-MEMORY
+    # plan cut (plans/checkpoint.truncate_mem: persist + LogicalRDD rewrap
+    # with default stats), because a k-deep chain whose supersteps
+    # reference the state twice compounds localCheckpoint's estimated
+    # sizeInBytes 2^k-fold per boundary. Keep k SMALL: the
     # unresolved plan itself also grows 2^k-fold (state is referenced twice
     # per superstep), so Catalyst analysis eats the win back. Measured on
     # the 192k-edge event graph, 55 supersteps, local[32]: k=1 70-120 s,
@@ -139,9 +152,31 @@ def run_pregel(
             start_iter, state = resumed
     metrics: list[dict] = []
 
+    sess = spark or state.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    prev_aqe = None
+    if not config.aqe_in_loop:
+        try:
+            prev_aqe = sess.conf.get(aqe_key)
+            sess.conf.set(aqe_key, "false")
+        except Exception:
+            prev_aqe = None
+
     state = state.persist()
     state.count()
-    it = start_iter
+    try:
+        return _pregel_loop(state, superstep, converged, config, ckpt,
+                            metrics, start_iter, stats, converged_stats)
+    finally:
+        if prev_aqe is not None:
+            try:
+                sess.conf.set(aqe_key, prev_aqe)
+            except Exception:
+                pass
+
+
+def _pregel_loop(state, superstep, converged, config, ckpt, metrics, it,
+                 stats=None, converged_stats=None):
     did_converge = False
     while it < config.max_iterations:
         t0 = time.time()
@@ -150,9 +185,13 @@ def run_pregel(
         for b in range(batch):
             new_state = superstep(new_state, it + b)
         if batch > 1:
-            # stats-safe boundary: the k-deep chain runs as one job; the
-            # parquet round-trip resets Catalyst's compounded size estimate
-            new_state = truncate(new_state, "pregel_state").persist()
+            # stats-safe boundary: the k-deep chain runs as one job, then
+            # the plan is cut IN MEMORY (truncate_mem: persist + JVM
+            # LogicalRDD rewrap with default stats). Round 2 used a parquet
+            # round-trip here; the write+read of the full vertex state every
+            # k supersteps is a per-boundary fixed cost that does not shrink
+            # with parallelism and capped measured scaling (round-3 finding)
+            new_state = truncate_mem(new_state)
         elif config.truncate_every and (it + 1) % config.truncate_every == 0:
             # eager localCheckpoint: materializes AND cuts the logical plan
             new_state = new_state.localCheckpoint(eager=True)
@@ -175,10 +214,11 @@ def run_pregel(
                  "supersteps": batch, "converged": done}
             )
         if ckpt and (it % config.checkpoint_every == 0 or done or it >= config.max_iterations):
-            new_state = ckpt.save(new_state, it, metrics[-1] if metrics else {})
-            new_state = new_state.persist()
+            saved = ckpt.save(new_state, it, metrics[-1] if metrics else {})
+            unpersist_truncated(new_state)
+            new_state = saved.persist()
             new_state.count()
-        state.unpersist()
+        unpersist_truncated(state)
         state = new_state
         if done:
             did_converge = True
