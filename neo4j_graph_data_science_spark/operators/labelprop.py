@@ -77,6 +77,7 @@ def label_propagation(
     if not cfg.weighted and not cfg.node_weight_property:
         edges = edges.withColumn(W, F.lit(1.0))
     edges = prepare_edges(edges, cfg.partitions)
+    loop_parts = cfg.partitions or edges.rdd.getNumPartitions()
 
     if cfg.seed_property:
         state0 = graph.nodes.select(
@@ -110,7 +111,7 @@ def label_propagation(
 
     res = run_pregel(
         state0, superstep, lambda o, n, i: False,
-        PregelConfig(cfg.max_iterations, 0.0, cfg.partitions,
+        PregelConfig(cfg.max_iterations, 0.0, loop_parts,
                      cfg.checkpoint_dir, 1, cfg.run_id,
                      check_every=cfg.check_every),
         stats=[F.max(F.col("changed").cast("int"))],

@@ -91,6 +91,9 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
     d = cfg.damping_factor
     edges = prepare_edges(graph.aggregated_edges("SUM" if cfg.weighted else "COUNT"),
                           cfg.partitions)
+    # loop shuffles run at the resolved edge width (auto-sized when None)
+    # so the reduce granularity matches the persisted edge blocks
+    loop_parts = cfg.partitions or edges.rdd.getNumPartitions()
     deg = _out_degrees(edges)
     nodes = graph.nodes.select("id")
 
@@ -158,7 +161,7 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
             tolerance=cfg.tolerance,
             checkpoint_dir=cfg.checkpoint_dir,
             run_id=cfg.run_id,
-            partitions=cfg.partitions,
+            partitions=loop_parts,
             check_every=cfg.check_every,
         ),
         stats=[F.max("delta")],

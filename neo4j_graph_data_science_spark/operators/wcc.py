@@ -60,6 +60,7 @@ def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
     if cfg.threshold is not None:
         e = e.filter(F.col(W) > cfg.threshold)
     edges = prepare_edges(e.select(SRC, DST).distinct(), cfg.partitions)
+    loop_parts = cfg.partitions or edges.rdd.getNumPartitions()
 
     if cfg.seed_property:
         state0 = graph.nodes.select(
@@ -102,7 +103,7 @@ def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
 
     res = run_pregel(
         state0, superstep, lambda o, n, i: False,
-        PregelConfig(cfg.max_iterations, 0.0, cfg.partitions,
+        PregelConfig(cfg.max_iterations, 0.0, loop_parts,
                      cfg.checkpoint_dir, 1, cfg.run_id,
                      check_every=cfg.check_every),
         stats=[F.max(F.col("changed").cast("int"))],

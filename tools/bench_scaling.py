@@ -24,24 +24,32 @@ import sys
 WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
-cpus, n_convs = int(sys.argv[1]), int(sys.argv[2])
+cpus, n_convs, hi_cores = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 from neo4j_graph_data_science_spark.session import get_spark
 from neo4j_graph_data_science_spark.sources.transcripts import transcript_graph
 from neo4j_graph_data_science_spark.operators.pagerank import PageRankConfig, page_rank
+from neo4j_graph_data_science_spark.plans.pregel import EDGE_ROWS_PER_PARTITION
 
 # FIXED partition count at every level: a real N -> 4N cluster comparison
 # holds the dataset partitioning constant and varies only the executors.
 # shuffle_partitions=cpus would conflate partition GRANULARITY with
 # parallelism (2 cores x 15M-row partitions blow the cache; 8 x 4M don't),
 # which round 3 measured as a spurious super-linear 2->8 "speedup".
+# The constant is sized off the LARGER leg (auto_partitions formula with
+# cores = hi_cores): round 3's original fixed 16 capped the 32-core leg at
+# 16 concurrent shuffle tasks, i.e. a mathematical 0.5 efficiency ceiling
+# that measured the harness, not the engine.
 spark = get_spark("scale_bench", master=f"local[{cpus}]", shuffle_partitions=16)
 g = transcript_graph(spark, n_convs=n_convs, seed=42, max_turns=40, dense_ids=False)
 edges = g.edges
 n_edges = edges.count()
+by_data = -(-n_edges // EDGE_ROWS_PER_PARTITION)
+parts = max(hi_cores, min(8 * hi_cores, by_data))
 # warmup: one short run to JIT/plan-cache (2 supersteps touch every
 # codegen'd stage; round-3 trim -- the host got slower between rounds and
 # the local[2] leg must fit the subprocess timeout with margin)
-page_rank(g, PageRankConfig(max_iterations=2, tolerance=0.0)).state.count()
+page_rank(g, PageRankConfig(max_iterations=2, tolerance=0.0,
+                            partitions=parts)).state.count()
 # check_every=3 = the bench.py production config (superstep batching).
 # THROUGHPUT IS THE SUPERSTEP LOOP ONLY (sum of run_pregel's per-boundary
 # walls): page_rank() re-materializes the projected edge table inside the
@@ -54,12 +62,12 @@ page_rank(g, PageRankConfig(max_iterations=2, tolerance=0.0)).state.count()
 # host whose pure-CPU 2->8 scaling was 0.92 at the same minute -- the
 # non-scaling projection share, not the engine, set the slope.
 res = page_rank(g, PageRankConfig(max_iterations=9, tolerance=0.0,
-                                  check_every=3))
+                                  check_every=3, partitions=parts))
 res.state.count()
 loop_wall = sum(m["wall_s"] for m in res.metrics)
 supersteps = res.iterations
 print(json.dumps({
-    "cpus": cpus, "edges": n_edges, "supersteps": supersteps,
+    "cpus": cpus, "parts": parts, "edges": n_edges, "supersteps": supersteps,
     "wall_s": round(loop_wall, 3),
     "edges_per_sec_per_superstep": round(n_edges * supersteps / loop_wall, 1),
     "timed": "superstep loop only (projection excluded)",
@@ -68,10 +76,11 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, n_convs: int) -> dict:
+def run_level(cpus: int, n_convs: int, hi_cores: int) -> dict:
     try:
         out = subprocess.run(
-            [sys.executable, "-c", WORKER, str(cpus), str(n_convs)],
+            [sys.executable, "-c", WORKER, str(cpus), str(n_convs),
+             str(hi_cores)],
             capture_output=True, text=True, timeout=2700,
         )
         line = [l for l in out.stdout.strip().splitlines()
@@ -95,10 +104,10 @@ def main() -> None:
                          "invisible neighbor load)")
     args = ap.parse_args()
 
-    def best_of(cpus: int) -> dict:
+    def best_of(cpus: int, hi_cores: int) -> dict:
         runs = []
         for i in range(args.repeats):
-            r = run_level(cpus, args.convs)
+            r = run_level(cpus, args.convs, hi_cores)
             print(f"  local[{cpus}] run {i}: {r}", file=sys.stderr, flush=True)
             runs.append(r)
         return max(runs, key=lambda r: r["edges_per_sec_per_superstep"])
@@ -106,8 +115,8 @@ def main() -> None:
     results = []
     for pair in args.pairs:
         lo, hi = (int(x) for x in pair.split(","))
-        r_lo = best_of(lo)
-        r_hi = best_of(hi)
+        r_lo = best_of(lo, hi)
+        r_hi = best_of(hi, hi)
         ratio = hi / lo
         if not r_lo["edges_per_sec_per_superstep"]:
             results.append({"error": "all N-core reps failed",
