@@ -227,6 +227,59 @@ def _reconstruct_paths(dist: DataFrame, preds: DataFrame, source: int,
     return out
 
 
+def _target_pruned_dist(nodes: DataFrame, edges: DataFrame, source: int,
+                        target: int, max_iterations: int,
+                        heuristic: DataFrame | None = None) -> DataFrame:
+    """Branch-and-bound pruned relaxation toward one target: a frontier row
+    is expanded only while dist(v) + h(v) < best known target distance,
+    with best_t kept IN the plan (1-row broadcast cross join) so each
+    superstep costs exactly one action (the emptiness check). Exact for the
+    target, and — for h=0 and strictly positive weights — exact for EVERY
+    node with true distance < dist(target) (the only nodes a target
+    pred-chain backtrack can touch). Returns the raw pruned (id, dist)
+    state: distances of nodes at/beyond the target's distance may be
+    overestimates and must be filtered by the caller before pred
+    derivation."""
+    state = nodes.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
+        (F.col("id") == source).alias("changed"),
+    ).localCheckpoint(eager=True)
+    h = (heuristic.select("id", F.col("h").cast("double"))
+         if heuristic is not None else None)
+    for _ in range(max_iterations):
+        best_t = (state.filter(F.col("id") == target)
+                  .select(F.col("dist").alias("_best_t")))
+        frontier = state.filter(F.col("changed") & (F.col("dist") != INF))
+        if h is not None:
+            frontier = frontier.join(h, "id", "left").fillna(0.0, ["h"])
+        else:
+            frontier = frontier.withColumn("h", F.lit(0.0))
+        frontier = (
+            frontier.crossJoin(F.broadcast(best_t))
+            .filter(F.col("dist") + F.col("h") < F.col("_best_t"))
+            .drop("_best_t", "h")
+        )
+        if frontier.isEmpty():
+            break
+        cands = (
+            edges.join(frontier.select(F.col("id").alias(SRC),
+                                       F.col("dist").alias("_sd")), SRC)
+            .select(F.col(DST).alias("id"), (F.col("_sd") + F.col(W)).alias("_cand"))
+            .groupBy("id").agg(F.min("_cand").alias("cand"))
+        )
+        state = (
+            state.join(cands, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))).alias("dist"),
+                (F.coalesce("cand", F.lit(INF)) < F.col("dist")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("id", "dist").filter(F.col("dist") != INF)
+
+
 def dijkstra(graph: SparkGraph, source: int, target: int | None = None,
              config: PathConfig | None = None) -> DataFrame:
     """Single-source (or source-target) shortest paths WITH path objects:
@@ -237,10 +290,37 @@ def dijkstra(graph: SparkGraph, source: int, target: int | None = None,
     fixpoint is the Bellman-Ford relaxation (equal to Dijkstra's output for
     non-negative weights); predecessors are then derived deterministically
     from converged distances, and paths by pred-chain backtracking.
-    """
+
+    With a single `target` and strictly positive weights, the relaxation is
+    target-pruned (_target_pruned_dist, h=0): supersteps stop once no
+    frontier node can beat the best known target distance, instead of
+    running to the global fixpoint — Yen's inner loop runs one Dijkstra per
+    spur candidate, so this is its dominant cost. Pruned distances are
+    exact for every node strictly closer than the target (positive
+    weights), which is exactly the set the deterministic pred chain can
+    visit, so results — including tie-breaks — are identical to the full
+    fixpoint (pinned by test_paths_family parity test)."""
     cfg = config or PathConfig()
     e = graph.aggregated_edges("MIN").localCheckpoint(eager=True)
-    dist = shortest_paths(graph, [source], cfg)
+    pruned_ok = False
+    if target is not None:
+        wmin = e.agg(F.min(W).alias("_w")).collect()[0]["_w"]
+        pruned_ok = wmin is not None and wmin > 0
+    if pruned_ok:
+        edges = prepare_edges(e, cfg.partitions)
+        raw = _target_pruned_dist(graph.nodes.select("id"), edges, source,
+                                  int(target), cfg.max_iterations)
+        edges.unpersist()
+        best = raw.filter(F.col("id") == target) \
+                  .select(F.col("dist").alias("_bt"))
+        # keep only FINAL distances: strictly closer than the target, plus
+        # the target row itself (positive weights => pred chains never need
+        # an equal-distance non-target node)
+        dist = (raw.crossJoin(F.broadcast(best))
+                .filter((F.col("dist") < F.col("_bt")) | (F.col("id") == target))
+                .select("id", "dist").localCheckpoint(eager=True))
+    else:
+        dist = shortest_paths(graph, [source], cfg)
     preds = _deterministic_predecessors(e, dist)
     # with a single target, backtrack ONLY its pred chain (a 1-row walk per
     # hop) instead of every reachable node's -- Yen's runs one dijkstra per
@@ -276,44 +356,9 @@ def astar(graph: SparkGraph, source: int, target: int,
     cfg = config or PathConfig()
     e = graph.aggregated_edges("MIN")
     edges = prepare_edges(e, cfg.partitions)
-    h = heuristic.select("id", F.col("h").cast("double"))
-    state = graph.nodes.select(
-        "id",
-        F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
-        (F.col("id") == source).alias("changed"),
-    ).localCheckpoint(eager=True)
-    for _ in range(cfg.max_iterations):
-        # best known target distance stays IN the plan (1-row broadcast
-        # cross join) instead of a per-iteration driver collect, so each
-        # superstep costs exactly one action (the emptiness check below)
-        best_t = (state.filter(F.col("id") == target)
-                  .select(F.col("dist").alias("_best_t")))
-        frontier = (
-            state.filter(F.col("changed") & (F.col("dist") != INF))
-            .join(h, "id", "left").fillna(0.0, ["h"])
-            .crossJoin(F.broadcast(best_t))
-            .filter(F.col("dist") + F.col("h") < F.col("_best_t"))
-            .drop("_best_t")
-        )
-        if frontier.isEmpty():
-            break
-        cands = (
-            edges.join(frontier.select(F.col("id").alias(SRC),
-                                       F.col("dist").alias("_sd")), SRC)
-            .select(F.col(DST).alias("id"), (F.col("_sd") + F.col(W)).alias("_cand"))
-            .groupBy("id").agg(F.min("_cand").alias("cand"))
-        )
-        state = (
-            state.join(cands, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))).alias("dist"),
-                (F.coalesce("cand", F.lit(INF)) < F.col("dist")).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    dist = _target_pruned_dist(graph.nodes.select("id"), edges, source,
+                               target, cfg.max_iterations, heuristic=heuristic)
     edges.unpersist()
-    dist = state.select("id", "dist").filter(F.col("dist") != INF)
     e2 = graph.aggregated_edges("MIN")
     preds = _deterministic_predecessors(e2, dist)
     return (
@@ -340,17 +385,21 @@ def yens(graph: SparkGraph, source: int, target: int, k: int = 3,
         return graph.nodes.sparkSession.createDataFrame(
             [], "index long, source long, target long, total_cost double, "
                 "node_ids array<bigint>")
-    paths = [(first[0]["total_cost"], list(first[0]["node_ids"]))]
-    candidates: list[tuple[float, list[int]]] = []
+    # each found path carries its CUMULATIVE cost array (dijkstra's `costs`),
+    # so a spur's root cost is a list lookup (prev_costs[i]) instead of a
+    # per-spur edge-weight collect against the full edge table
+    paths = [(first[0]["total_cost"], list(first[0]["node_ids"]),
+              list(first[0]["costs"]))]
+    candidates: list[tuple[float, list[int], list[float]]] = []
     edges_base = graph.aggregated_edges("MIN").localCheckpoint(eager=True)
     for _ in range(1, k):
-        cost_prev, p_prev = paths[-1]
+        cost_prev, p_prev, costs_prev = paths[-1]
         for i in range(len(p_prev) - 1):
             spur, root = p_prev[i], p_prev[:i + 1]
             root_set = set(root[:-1])
             # remove edges used by any found path sharing this root, and
             # all root nodes except the spur (loopless constraint)
-            removed = {(p[i], p[i + 1]) for c, p in paths
+            removed = {(p[i], p[i + 1]) for c, p, _ in paths
                        if len(p) > i + 1 and p[:i + 1] == root}
             cond = F.lit(False)
             for (u, v) in removed:
@@ -363,21 +412,21 @@ def yens(graph: SparkGraph, source: int, target: int, k: int = 3,
             spur_rows = dijkstra(sub, spur, target, cfg).collect()
             if not spur_rows:
                 continue
-            root_cost = 0.0
-            ew = {(r[SRC], r[DST]): r[W] for r in edges_base.filter(
-                F.col(SRC).isin(root) & F.col(DST).isin(root)).collect()}
-            for a, b in zip(root[:-1], root[1:]):
-                root_cost += ew.get((a, b), 0.0)
+            root_cost = float(costs_prev[i])
             total = root_cost + spur_rows[0]["total_cost"]
             full = root[:-1] + list(spur_rows[0]["node_ids"])
-            if (total, full) not in candidates and full not in [p for _, p in paths]:
-                candidates.append((total, full))
+            full_costs = ([float(c) for c in costs_prev[:i]]
+                          + [root_cost + float(c)
+                             for c in spur_rows[0]["costs"]])
+            if (full not in [c[1] for c in candidates]
+                    and full not in [p for _, p, _ in paths]):
+                candidates.append((total, full, full_costs))
         if not candidates:
             break
         candidates.sort(key=lambda t: (t[0], t[1]))
         paths.append(candidates.pop(0))
     edges_base.unpersist()
-    rows = [(i, source, p[-1], c, p) for i, (c, p) in enumerate(paths)]
+    rows = [(i, source, p[-1], c, p) for i, (c, p, _) in enumerate(paths)]
     return graph.nodes.sparkSession.createDataFrame(
         rows, "index long, source long, target long, total_cost double, "
               "node_ids array<bigint>")

@@ -121,3 +121,39 @@ def test_delta_stepping_heavy_edges_on_optimal_paths(spark):
     ds = {r["id"]: r["dist"] for r in delta_stepping(g, 0, delta=2.0).collect()}
     assert ds == pytest.approx(exact)
     assert ds[3] == 16.0
+
+
+def test_dijkstra_target_pruned_matches_full_fixpoint(spark):
+    # a graph with (a) equal-cost shortest-path TIES to the target so the
+    # deterministic min-pred tie-break is exercised, and (b) a long tail
+    # BEYOND the target that the pruned run never needs to finalize.
+    edges = [
+        (0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0),  # two 0->3 ties
+        (3, 4, 1.0),                                          # target hop
+        (4, 5, 1.0), (5, 6, 1.0), (6, 7, 1.0), (7, 8, 1.0),   # tail past tgt
+        (0, 8, 1.0),                                          # decoy into tail
+    ]
+    g = from_edge_list(spark, edges, n_nodes=9)
+    pruned = dijkstra(g, 0, target=4).collect()
+    # full fixpoint for the same target: all-targets run, then filter
+    full = [r for r in dijkstra(g, 0).collect() if r["target"] == 4]
+    assert len(pruned) == 1 and len(full) == 1
+    assert pruned[0]["total_cost"] == full[0]["total_cost"] == 3.0
+    assert list(pruned[0]["node_ids"]) == list(full[0]["node_ids"]) == [0, 1, 3, 4]
+    assert list(pruned[0]["costs"]) == list(full[0]["costs"])
+
+
+def test_dijkstra_target_unreachable_pruned(spark):
+    g = from_edge_list(spark, [(0, 1, 2.0)], n_nodes=3)
+    assert dijkstra(g, 0, target=2).collect() == []
+
+
+def test_dijkstra_zero_weight_falls_back(spark):
+    # zero-weight edge on a shortest path: the positive-weight gate must
+    # route to the full fixpoint and still return the right path
+    edges = [(0, 1, 0.0), (1, 2, 1.0), (0, 2, 2.0)]
+    g = from_edge_list(spark, edges, n_nodes=3)
+    rows = dijkstra(g, 0, target=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["total_cost"] == 1.0
+    assert list(rows[0]["node_ids"]) == [0, 1, 2]
