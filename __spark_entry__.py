@@ -1628,12 +1628,26 @@ def _astar_sql() -> str:
     )
 
 
+# (sf_dir -> collected yens rows): yens_costs and yens_paths present two
+# projections of ONE deterministic K=3 run; without the memo the driver's
+# sweep pays the full repeated-Dijkstra loop twice (2x ~35 s, the two most
+# expensive queries in the sweep). Keyed by sf_dir only -- the result is a
+# pure function of the input tables; rows (not DataFrames) are cached so a
+# restarted SparkSession can't serve a stale handle.
+_YENS_MEMO: dict[str, list] = {}
+
+
 def _yens_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Yen's K=3 run (paths/yens/Yens.java:39) over the weighted DAG
     subgraph, targeting the node with the most <=5-hop paths from 0 (real
     path diversity, deterministic tie-break)."""
     from neo4j_graph_data_science_spark.catalog import SparkGraph
     from neo4j_graph_data_science_spark.operators.paths import bfs, yens
+
+    schema = ("index long, source long, target long, total_cost double, "
+              "node_ids array<bigint>")
+    if sf_dir in _YENS_MEMO:
+        return spark.createDataFrame(_YENS_MEMO[sf_dir], schema)
 
     g = _scc_subgraph(spark, sf_dir, include_loop=False)
     weighted = g.edges.withColumn(
@@ -1664,7 +1678,9 @@ def _yens_result(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "<=5-hop paths in events_sub; oracle target "
                          "choice would diverge")
     target = int(cand[0]["id"])
-    return yens(gw, 0, target, k=3)
+    rows = yens(gw, 0, target, k=3).collect()
+    _YENS_MEMO[sf_dir] = rows
+    return spark.createDataFrame(rows, schema)
 
 
 def q_yens_paths(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -133,6 +133,30 @@ def main() -> None:
     extras["edges_per_sec_per_superstep"] = round(
         n_edges * supersteps / timings["pagerank_events"], 1)
     extras["pagerank_converged"] = res.converged
+    # which engine the auto dispatch picked (plans/local_kernel.py engages
+    # the single-task numpy kernel below 2M edges — sf0.1 is subcritical)
+    extras["pagerank_kernel"] = (
+        "local-task" if res.metrics and res.metrics[0].get("kernel") == "local-task"
+        else "distributed-pregel")
+    if extras["pagerank_kernel"] == "local-task":
+        # keep the distributed loop's number visible for round-over-round
+        # comparison (r1/r2 benched it); NOT part of the suite total — the
+        # suite times what a user gets (the dispatcher), this times the
+        # at-scale engine on a subcritical input. The north-star throughput
+        # evidence for the distributed loop is the 31M-edge scaling section.
+        best = float("inf")
+        for i in range(REPS):
+            t0 = time.time()
+            r2 = page_rank(g, PageRankConfig(max_iterations=100,
+                                             tolerance=1e-6, check_every=3,
+                                             small_graph_edges=0))
+            r2.state.count()
+            dt = time.time() - t0
+            print(f"  bench pagerank_events_dist run {i + 1}/{REPS}: {dt:.3f}s",
+                  file=sys.stderr, flush=True)
+            best = min(best, dt)
+        extras["pagerank_distributed_best_s"] = round(best, 3)
+        extras["pagerank_distributed_supersteps"] = r2.iterations
 
     timed("wcc_events", lambda: wcc(g, WccConfig()).state.count())
     # NOTE: batching (check_every=5) measured SLOWER here (20 s vs 9 s):

@@ -35,7 +35,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import DST, SRC, W, SparkGraph
-from ..plans.pregel import PregelConfig, PregelResult, prepare_edges, run_pregel
+from ..plans.local_kernel import local_label_propagation, should_run_local
+from ..plans.pregel import (
+    PregelConfig, PregelResult, auto_partitions, prepare_edges, run_pregel,
+)
 
 
 @dataclass
@@ -49,6 +52,9 @@ class LabelPropagationConfig:
     run_id: str = "lpa"
     partitions: int | None = None
     check_every: int = 1
+    # subcritical fast path (plans/local_kernel.py); None -> 2M-edge default,
+    # 0 disables. Synchronous semantics are identical.
+    small_graph_edges: int | None = None
 
 
 def label_propagation(
@@ -76,8 +82,8 @@ def label_propagation(
         edges = edges.join(nw, SRC).withColumn(W, F.col(W) * F.col("_nw")).drop("_nw")
     if not cfg.weighted and not cfg.node_weight_property:
         edges = edges.withColumn(W, F.lit(1.0))
-    edges = prepare_edges(edges, cfg.partitions)
-    loop_parts = cfg.partitions or edges.rdd.getNumPartitions()
+    eset = edges.persist()
+    n_edges = eset.count()
 
     if cfg.seed_property:
         state0 = graph.nodes.select(
@@ -85,6 +91,21 @@ def label_propagation(
         )
     else:
         state0 = graph.nodes.select("id", F.col("id").alias("label"))
+
+    if should_run_local(n_edges, cfg.small_graph_edges, cfg.checkpoint_dir):
+        state, iters, conv, wall = local_label_propagation(
+            eset, state0, cfg.max_iterations)
+        eset.unpersist()
+        return PregelResult(
+            state=state.select("id", "label"), iterations=iters,
+            converged=conv,
+            metrics=[{"kernel": "local-task", "supersteps": iters,
+                      "wall_s": round(wall, 4)}],
+        )
+
+    edges = prepare_edges(
+        eset, cfg.partitions or auto_partitions(n_edges, eset.sparkSession))
+    loop_parts = cfg.partitions or edges.rdd.getNumPartitions()
     state0 = state0.withColumn("changed", F.lit(True))
 
     def superstep(state: DataFrame, it: int) -> DataFrame:
@@ -119,4 +140,5 @@ def label_propagation(
     )
     res.state = res.state.select("id", "label")
     edges.unpersist()
+    eset.unpersist()
     return res

@@ -43,7 +43,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import DST, SRC, W, SparkGraph
-from ..plans.pregel import PregelConfig, PregelResult, prepare_edges, run_pregel
+from ..plans.local_kernel import local_page_rank, should_run_local
+from ..plans.pregel import (
+    PregelConfig, PregelResult, auto_partitions, prepare_edges, run_pregel,
+)
 
 
 @dataclass
@@ -63,6 +66,11 @@ class PageRankConfig:
     # `scaler` config (PageRankAlgorithm.java:107-133 scales the result
     # vector after convergence): one of operators/scaling.SCALERS or None
     scaler: str | None = None
+    # subcritical fast path (plans/local_kernel.py): graphs at or below this
+    # many aggregated edges run the whole loop in ONE executor task instead
+    # of one Spark job per check_every supersteps. None -> module default
+    # (2M edges); 0 disables. Identical results (parity-pinned).
+    small_graph_edges: int | None = None
 
 
 def _out_degrees(edges: DataFrame) -> DataFrame:
@@ -89,12 +97,9 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
     """Returns PregelResult whose state is (id, rank, delta)."""
     cfg = config or PageRankConfig()
     d = cfg.damping_factor
-    edges = prepare_edges(graph.aggregated_edges("SUM" if cfg.weighted else "COUNT"),
-                          cfg.partitions)
-    # loop shuffles run at the resolved edge width (auto-sized when None)
-    # so the reduce granularity matches the persisted edge blocks
-    loop_parts = cfg.partitions or edges.rdd.getNumPartitions()
-    deg = _out_degrees(edges)
+    agg = graph.aggregated_edges("SUM" if cfg.weighted else "COUNT").persist()
+    n_edges = agg.count()
+    deg = _out_degrees(agg)
     nodes = graph.nodes.select("id")
 
     if cfg.source_nodes is not None:
@@ -103,15 +108,35 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
     else:
         alpha = F.lit(1.0 - d)
 
+    base = nodes.join(deg, "id", "left").select(
+        "id",
+        alpha.alias("rank"),
+        alpha.alias("alpha"),
+        F.coalesce("out_deg", F.lit(0.0)).alias("out_deg"),
+    )
+
+    if should_run_local(n_edges, cfg.small_graph_edges, cfg.checkpoint_dir):
+        state, iters, conv, wall = local_page_rank(
+            agg, base, d, max(cfg.max_iterations - 1, 0), cfg.tolerance)
+        agg.unpersist()
+        return PregelResult(
+            state=_apply_scaler(
+                state.select("id", F.col("rank").alias("score")), cfg.scaler),
+            iterations=iters + 1,  # GDS initial send-only superstep
+            converged=conv,
+            metrics=[{"kernel": "local-task", "supersteps": iters,
+                      "wall_s": round(wall, 4)}],
+        )
+
+    edges = prepare_edges(
+        agg, cfg.partitions or auto_partitions(n_edges, agg.sparkSession))
+    # loop shuffles run at the resolved edge width (auto-sized when None)
+    # so the reduce granularity matches the persisted edge blocks
+    loop_parts = cfg.partitions or edges.rdd.getNumPartitions()
+
     # state: (id, rank, alpha, out_deg, contrib = rank/out_deg)
     state0 = (
-        nodes.join(deg, "id", "left")
-        .select(
-            "id",
-            alpha.alias("rank"),
-            alpha.alias("alpha"),
-            F.coalesce("out_deg", F.lit(0.0)).alias("out_deg"),
-        )
+        base
         .withColumn("delta", F.col("rank"))
         .withColumn(
             "contrib",
@@ -171,6 +196,7 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
     res.state = _apply_scaler(
         res.state.select("id", F.col("rank").alias("score")), cfg.scaler)
     edges.unpersist()
+    agg.unpersist()
     return res
 
 

@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import DST, SRC, W, SparkGraph
-from ..plans.pregel import PregelConfig, PregelResult, prepare_edges, run_pregel
+from ..plans.local_kernel import local_wcc, should_run_local
+from ..plans.pregel import (
+    PregelConfig, PregelResult, auto_partitions, prepare_edges, run_pregel,
+)
 
 
 @dataclass
@@ -51,6 +54,9 @@ class WccConfig:
     # ~10 and ~hundreds of shuffles at scale. Output is identical (labels
     # only ever decrease to ids of members of the same component).
     pointer_jumping: bool = True
+    # subcritical fast path (plans/local_kernel.py); None -> 2M-edge default,
+    # 0 disables. Output identical (min-member component ids).
+    small_graph_edges: int | None = None
 
 
 def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
@@ -59,8 +65,8 @@ def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
     e = graph.oriented_edges("UNDIRECTED")
     if cfg.threshold is not None:
         e = e.filter(F.col(W) > cfg.threshold)
-    edges = prepare_edges(e.select(SRC, DST).distinct(), cfg.partitions)
-    loop_parts = cfg.partitions or edges.rdd.getNumPartitions()
+    eset = e.select(SRC, DST).distinct().persist()
+    n_edges = eset.count()
 
     if cfg.seed_property:
         state0 = graph.nodes.select(
@@ -68,6 +74,22 @@ def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
         )
     else:
         state0 = graph.nodes.select("id", F.col("id").alias("comp"))
+
+    if should_run_local(n_edges, cfg.small_graph_edges, cfg.checkpoint_dir):
+        state, iters, wall = local_wcc(eset, state0)
+        eset.unpersist()
+        comp = state.select("id", F.col("comp").alias("component"))
+        if cfg.consecutive_ids:
+            comp = consecutive_ids(comp, "component")
+        return PregelResult(
+            state=comp, iterations=iters, converged=True,
+            metrics=[{"kernel": "local-task", "supersteps": iters,
+                      "wall_s": round(wall, 4)}],
+        )
+
+    edges = prepare_edges(
+        eset, cfg.partitions or auto_partitions(n_edges, eset.sparkSession))
+    loop_parts = cfg.partitions or edges.rdd.getNumPartitions()
     state0 = state0.withColumn("changed", F.lit(True))
 
     def superstep(state: DataFrame, it: int) -> DataFrame:
@@ -114,6 +136,7 @@ def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
         comp = consecutive_ids(comp, "component")
     res.state = comp
     edges.unpersist()
+    eset.unpersist()
     return res
 
 

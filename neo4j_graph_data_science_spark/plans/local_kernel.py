@@ -1,0 +1,279 @@
+"""Single-task Arrow kernels for subcritical graphs.
+
+The distributed Pregel loop (plans/pregel.py) pays a fixed per-boundary
+cost — job scheduling, Catalyst analysis of the superstep plan, the
+stats/materialization action — that is independent of graph size. At 10^9+
+edges that cost is noise; below a few million edges it IS the wall time
+(55 PageRank supersteps x ~1 s of fixed cost on a 192k-edge graph vs ~1 ms
+of actual arithmetic per superstep).
+
+The reference engine never pays this tax because it is entirely in-memory
+single-node (HugeGraph CSR + worker threads). This module is the Spark
+answer for that regime: when the edge count is below
+``LOCAL_KERNEL_MAX_EDGES``, the WHOLE iteration loop runs inside ONE
+executor task as a vectorized numpy kernel over Arrow-shipped columns —
+one Spark job total, no per-superstep driver round-trips. Above the
+threshold the distributed loop engages unchanged; on a 100 TB deployment
+the threshold only ever triggers for small extracted subgraphs (per-
+component runs, path-query neighborhoods), where it removes dozens of
+scheduler round-trips per call.
+
+Semantics are IDENTICAL to the distributed formulations (same init, same
+update order, same tie-breaks, same iteration accounting); parity is
+pinned by tests/test_local_kernel.py at 1e-12 for PageRank and exactly for
+WCC/LPA. Kill switch: config small_graph_edges=0 or env
+SPARK_GRAFT_LOCAL_KERNEL=0 forces the distributed path everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, DoubleType, LongType, StructField, StructType,
+)
+
+from ..catalog import DST, SRC, W
+
+# default threshold: ~2M edges ~= 50 MB of Arrow traffic to one task and
+# ~5 ms/superstep of numpy; the distributed loop's fixed cost crosses the
+# kernel's total cost far below this, so the constant is conservative
+LOCAL_KERNEL_MAX_EDGES = 2_000_000
+
+
+def local_kernel_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_LOCAL_KERNEL", "1") != "0"
+
+
+def should_run_local(n_edges: int, limit: int | None,
+                     checkpoint_dir: str | None) -> bool:
+    """Durable checkpointing keeps the distributed loop (the whole point of
+    the checkpoint contract is mid-iteration resume of LONG runs)."""
+    if checkpoint_dir or not local_kernel_enabled():
+        return False
+    lim = LOCAL_KERNEL_MAX_EDGES if limit is None else limit
+    return 0 < lim and n_edges <= lim
+
+
+def _one_group(df: DataFrame) -> "GroupedData":  # noqa: F821
+    return df.withColumn("_k", F.lit(0)).groupBy("_k")
+
+
+def _run_cogrouped(edges: DataFrame, state: DataFrame, kernel, schema):
+    """Ship edges + state to a single task, run `kernel(epdf, spdf)` there.
+
+    cogroup-on-constant-key rather than driver collect: the arrays live in
+    an executor task, results flow back as a normal DataFrame, and the
+    driver never holds the graph.
+    """
+    def fn(_key, epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        return kernel(epdf, spdf)
+
+    return _one_group(edges).cogroup(_one_group(state)).applyInPandas(fn, schema)
+
+
+def _first_row(out: DataFrame):
+    out = out.persist()
+    out.count()
+    return out
+
+
+def _index_edges(ids: np.ndarray, epdf: pd.DataFrame):
+    """Map edge endpoints into positions of the SORTED id array, dropping
+    edges whose endpoint is not a known node — the same rows an inner join
+    of edges to state would drop in the distributed plan."""
+    if len(epdf) == 0 or SRC not in epdf.columns:
+        z = np.zeros(0, dtype="int64")
+        return z, z, np.zeros(0, dtype="bool")
+    s = np.searchsorted(ids, epdf[SRC].to_numpy(dtype="int64"))
+    d = np.searchsorted(ids, epdf[DST].to_numpy(dtype="int64"))
+    n = len(ids)
+    s_ok = np.clip(s, 0, n - 1)
+    d_ok = np.clip(d, 0, n - 1)
+    valid = (
+        (ids[s_ok] == epdf[SRC].to_numpy(dtype="int64"))
+        & (ids[d_ok] == epdf[DST].to_numpy(dtype="int64"))
+    )
+    return s_ok[valid], d_ok[valid], valid
+
+
+PAGERANK_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("rank", DoubleType()),
+    StructField("iters", LongType()),
+    StructField("conv", BooleanType()),
+])
+
+
+def local_page_rank(edges: DataFrame, state0: DataFrame, damping: float,
+                    max_updates: int, tolerance: float):
+    """PageRank-family loop in one task.
+
+    ``state0`` is the SAME (id, rank, alpha, out_deg) frame the distributed
+    path starts from (operators/pagerank.py builds it), so init semantics —
+    personalization, weighted degrees, multigraph multiplicity — are
+    decided once, in DataFrame land, for both engines.
+
+    Returns (result_state_df, iterations_done, converged, wall_s); the
+    caller adds GDS's initial send-only superstep to the count.
+    """
+    d = float(damping)
+    tol = float(tolerance)
+
+    def kernel(epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        ids = spdf["id"].to_numpy(dtype="int64")
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        rank = spdf["rank"].to_numpy(dtype="float64")[order]
+        alpha = spdf["alpha"].to_numpy(dtype="float64")[order]
+        out_deg = spdf["out_deg"].to_numpy(dtype="float64")[order]
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame(
+                {"id": [], "rank": [], "iters": [], "conv": []}).astype(
+                {"id": "int64", "rank": "float64", "iters": "int64",
+                 "conv": "bool"})
+        src_idx, dst_idx, valid = _index_edges(ids, epdf)
+        w = (epdf[W].to_numpy(dtype="float64") if W in epdf.columns
+             else np.ones(len(epdf), dtype="float64"))[valid]
+        inv_deg = np.where(out_deg > 0, 1.0 / np.where(out_deg > 0, out_deg, 1.0), 0.0)
+        it, conv = 0, False
+        while it < max_updates:
+            contrib = rank * inv_deg
+            msg = np.bincount(dst_idx, weights=contrib[src_idx] * w,
+                              minlength=n)
+            new_rank = alpha + d * msg
+            delta = np.abs(new_rank - rank)
+            rank = new_rank
+            it += 1
+            if tol > 0 and (len(delta) == 0 or float(delta.max()) <= tol):
+                conv = True
+                break
+        return pd.DataFrame({"id": ids, "rank": rank,
+                             "iters": np.int64(it), "conv": conv})
+
+    t0 = time.time()
+    out = _first_row(_run_cogrouped(edges, state0, kernel, PAGERANK_SCHEMA))
+    head = out.select("iters", "conv").first()
+    wall = time.time() - t0
+    iters = int(head["iters"]) if head else 0
+    conv = bool(head["conv"]) if head else True
+    return out.select("id", "rank"), iters, conv, wall
+
+
+WCC_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("comp", LongType()),
+    StructField("iters", LongType()),
+])
+
+
+def local_wcc(edges: DataFrame, state0: DataFrame):
+    """Min-label components in one task.
+
+    ``edges`` is the already-undirected, threshold-filtered, distinct edge
+    set; ``state0`` is (id, comp) with comp = id or the seed property.
+    Internally runs index-space pointer-jumped min propagation (np.unique
+    returns SORTED ids, so min index == min id), then maps every component
+    to the MIN of its members' seed values — equal by induction to the
+    distributed min-propagation fixpoint for both the seeded and unseeded
+    cases.
+    """
+    def kernel(epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(spdf["id"].to_numpy(dtype="int64"))
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame({"id": [], "comp": [], "iters": []}).astype(
+                {"id": "int64", "comp": "int64", "iters": "int64"})
+        src_idx, dst_idx, _ = _index_edges(ids, epdf)
+        lbl = np.arange(n, dtype="int64")
+        it = 0
+        while True:
+            it += 1
+            prev = lbl
+            m = np.minimum(lbl[src_idx], lbl[dst_idx])
+            nxt = lbl.copy()
+            np.minimum.at(nxt, dst_idx, m)
+            np.minimum.at(nxt, src_idx, m)
+            # pointer jumping: collapse chains exponentially
+            nxt = np.minimum(nxt, nxt[nxt])
+            nxt = np.minimum(nxt, nxt[nxt])
+            lbl = nxt
+            if np.array_equal(lbl, prev):
+                break
+        # map each index-component to the min SEED value of its members
+        seed = pd.Series(
+            spdf["comp"].to_numpy(dtype="int64"),
+            index=spdf["id"].to_numpy(dtype="int64"))[ids].to_numpy()
+        comp_min = pd.Series(seed).groupby(lbl).transform("min").to_numpy()
+        return pd.DataFrame({"id": ids, "comp": comp_min,
+                             "iters": np.int64(it)})
+
+    t0 = time.time()
+    out = _first_row(_run_cogrouped(edges, state0, kernel, WCC_SCHEMA))
+    head = out.select("iters").first()
+    wall = time.time() - t0
+    return out.select("id", "comp"), int(head["iters"]) if head else 0, wall
+
+
+LPA_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("label", LongType()),
+    StructField("iters", LongType()),
+    StructField("conv", BooleanType()),
+])
+
+
+def local_label_propagation(edges: DataFrame, state0: DataFrame,
+                            max_iterations: int):
+    """Synchronous LPA in one task: per round, votes = sum of edge weight
+    per (receiver, sender label); new label = argmax weight, ties -> the
+    smaller label (ComputeStepConsumer.java:70-73); stop when no label
+    changed. ``edges`` is the reversed weighted edge set the distributed
+    path builds (src = voting neighbor)."""
+    def kernel(epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        ids = spdf["id"].to_numpy(dtype="int64")
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        label = spdf["label"].to_numpy(dtype="int64")[order]
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame(
+                {"id": [], "label": [], "iters": [], "conv": []}).astype(
+                {"id": "int64", "label": "int64", "iters": "int64",
+                 "conv": "bool"})
+        src_idx, dst_idx, valid = _index_edges(ids, epdf)
+        w = (epdf[W].to_numpy(dtype="float64") if W in epdf.columns
+             else np.ones(len(epdf), dtype="float64"))[valid]
+        it, conv = 0, False
+        while it < max_iterations:
+            votes = pd.DataFrame({
+                "r": dst_idx, "l": label[src_idx], "w": w,
+            }).groupby(["r", "l"], as_index=False)["w"].sum()
+            votes = votes.sort_values(
+                ["r", "w", "l"], ascending=[True, False, True],
+                kind="mergesort").drop_duplicates("r")
+            new_label = label.copy()
+            new_label[votes["r"].to_numpy()] = votes["l"].to_numpy()
+            it += 1
+            if np.array_equal(new_label, label):
+                conv = True
+                label = new_label
+                break
+            label = new_label
+        return pd.DataFrame({"id": ids, "label": label,
+                             "iters": np.int64(it), "conv": conv})
+
+    t0 = time.time()
+    out = _first_row(_run_cogrouped(edges, state0, kernel, LPA_SCHEMA))
+    head = out.select("iters", "conv").first()
+    wall = time.time() - t0
+    iters = int(head["iters"]) if head else 0
+    conv = bool(head["conv"]) if head else True
+    return out.select("id", "label"), iters, conv, wall

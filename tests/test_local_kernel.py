@@ -1,0 +1,140 @@
+"""Parity pins for the subcritical single-task kernels
+(plans/local_kernel.py): the local numpy loop must reproduce the
+distributed Pregel loop's results — same init semantics, same tie-breaks,
+same iteration accounting — because operators silently dispatch on edge
+count. Forcing: small_graph_edges=huge forces the local path,
+small_graph_edges=0 forces the distributed path, on the SAME graph."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graph_data_science_spark import from_edge_list
+from neo4j_graph_data_science_spark.operators.labelprop import (
+    LabelPropagationConfig, label_propagation,
+)
+from neo4j_graph_data_science_spark.operators.pagerank import (
+    PageRankConfig, page_rank,
+)
+from neo4j_graph_data_science_spark.operators.wcc import WccConfig, wcc
+
+FORCE_LOCAL = 10**9
+FORCE_DIST = 0
+
+EDGES = [
+    (0, 1), (1, 2), (2, 0), (0, 2), (2, 3), (3, 4), (4, 3),
+    (5, 6), (6, 5), (1, 3), (4, 0), (7, 7),
+]
+WEIGHTED = [(a, b, float(1 + (a * 7 + b * 13) % 5)) for a, b in EDGES]
+
+
+def _ranks(res):
+    return {r["id"]: r["score"] for r in res.state.collect()}
+
+
+@pytest.mark.parametrize("kwargs", [
+    {},
+    {"weighted": True},
+    {"source_nodes": [0, 5]},
+    {"tolerance": 1e-3},
+    {"scaler": "minmax"},
+])
+def test_pagerank_local_matches_distributed(spark, kwargs):
+    g = from_edge_list(spark, WEIGHTED, n_nodes=9)
+    loc = page_rank(g, PageRankConfig(small_graph_edges=FORCE_LOCAL, **kwargs))
+    dist = page_rank(g, PageRankConfig(small_graph_edges=FORCE_DIST, **kwargs))
+    rl, rd = _ranks(loc), _ranks(dist)
+    assert rl.keys() == rd.keys()
+    for k in rl:
+        assert rl[k] == pytest.approx(rd[k], abs=1e-9)
+    assert loc.iterations == dist.iterations
+    assert loc.converged == dist.converged
+    assert loc.metrics and loc.metrics[0].get("kernel") == "local-task"
+    assert not (dist.metrics and dist.metrics[0].get("kernel") == "local-task")
+
+
+def test_pagerank_local_convergence_accounting(spark):
+    # star graph converges fast; iteration counts must match the
+    # distributed per-superstep check (GDS accounting incl. initial send)
+    g = from_edge_list(spark, [(i, 0) for i in range(1, 6)], n_nodes=6)
+    loc = page_rank(g, PageRankConfig(max_iterations=50, tolerance=1e-7,
+                                      small_graph_edges=FORCE_LOCAL))
+    dist = page_rank(g, PageRankConfig(max_iterations=50, tolerance=1e-7,
+                                       small_graph_edges=FORCE_DIST))
+    assert loc.converged and dist.converged
+    assert loc.iterations == dist.iterations
+    for k, v in _ranks(loc).items():
+        assert v == pytest.approx(_ranks(dist)[k], abs=1e-12)
+
+
+@pytest.mark.parametrize("kwargs", [
+    {},
+    {"consecutive_ids": True},
+    {"threshold": 2.0},
+])
+def test_wcc_local_matches_distributed(spark, kwargs):
+    g = from_edge_list(spark, WEIGHTED, n_nodes=10)  # node 9 isolated
+    loc = wcc(g, WccConfig(small_graph_edges=FORCE_LOCAL, **kwargs))
+    dist = wcc(g, WccConfig(small_graph_edges=FORCE_DIST, **kwargs))
+    cl = {r["id"]: r["component"] for r in loc.state.collect()}
+    cd = {r["id"]: r["component"] for r in dist.state.collect()}
+    assert cl == cd
+
+
+def test_wcc_local_seeded(spark):
+    g = from_edge_list(spark, [(0, 1), (2, 3)], n_nodes=5)
+    nodes = g.nodes.withColumn("seed", F.col("id") + 100)
+    from neo4j_graph_data_science_spark.catalog import SparkGraph
+
+    gs = SparkGraph(nodes=nodes, edges=g.edges)
+    loc = wcc(gs, WccConfig(seed_property="seed",
+                            small_graph_edges=FORCE_LOCAL))
+    dist = wcc(gs, WccConfig(seed_property="seed",
+                             small_graph_edges=FORCE_DIST))
+    cl = {r["id"]: r["component"] for r in loc.state.collect()}
+    cd = {r["id"]: r["component"] for r in dist.state.collect()}
+    assert cl == cd
+    assert cl[0] == cl[1] == 100 and cl[2] == cl[3] == 102 and cl[4] == 104
+
+
+def test_lpa_local_matches_distributed(spark):
+    g = from_edge_list(spark, EDGES, n_nodes=8)
+    loc = label_propagation(
+        g, LabelPropagationConfig(max_iterations=7,
+                                  small_graph_edges=FORCE_LOCAL))
+    dist = label_propagation(
+        g, LabelPropagationConfig(max_iterations=7,
+                                  small_graph_edges=FORCE_DIST))
+    ll = {r["id"]: r["label"] for r in loc.state.collect()}
+    ld = {r["id"]: r["label"] for r in dist.state.collect()}
+    assert ll == ld
+    assert loc.iterations == dist.iterations
+    assert loc.converged == dist.converged
+
+
+def test_lpa_local_directed_and_seeded(spark):
+    g = from_edge_list(spark, [(0, 1), (1, 2), (3, 2)], n_nodes=4)
+    from neo4j_graph_data_science_spark.catalog import SparkGraph
+
+    nodes = g.nodes.withColumn("seed", F.lit(7) + F.col("id") % 2)
+    gs = SparkGraph(nodes=nodes, edges=g.edges)
+    for kwargs in ({"undirected": False}, {"seed_property": "seed"}):
+        loc = label_propagation(
+            gs, LabelPropagationConfig(max_iterations=5,
+                                       small_graph_edges=FORCE_LOCAL,
+                                       **kwargs))
+        dist = label_propagation(
+            gs, LabelPropagationConfig(max_iterations=5,
+                                       small_graph_edges=FORCE_DIST,
+                                       **kwargs))
+        ll = {r["id"]: r["label"] for r in loc.state.collect()}
+        ld = {r["id"]: r["label"] for r in dist.state.collect()}
+        assert ll == ld, kwargs
+
+
+def test_kill_switch_env(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_KERNEL", "0")
+    g = from_edge_list(spark, EDGES, n_nodes=8)
+    res = page_rank(g, PageRankConfig(small_graph_edges=FORCE_LOCAL))
+    assert not (res.metrics and res.metrics[0].get("kernel") == "local-task")
