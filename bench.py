@@ -77,11 +77,16 @@ def _run_scaling() -> dict:
                                  "SPARK_GRAFT_SCALING_TIMEOUT", "7200")))
         line = [l for l in out.stdout.strip().splitlines()
                 if l.startswith("{")][-1]
-        res = json.loads(line)["scaling"][0]
+        pairs = json.loads(line)["scaling"]
+        res = pairs[0]
+        if len(pairs) > 1:
+            res["more_pairs"] = pairs[1:]
         res["protocol"] = (f"tools/bench_scaling.py --pairs {pair} "
                            f"--convs {convs} --repeats {reps}; subprocess "
                            "JVM per level; pair 2,8 because 8->32 on this "
-                           "box is SMT-capped (BASELINE.md round-1 #3)")
+                           "box is SMT-capped (BASELINE.md round-1 #3); "
+                           "full idle-host 1/2/4/8 curve in BASELINE.md "
+                           "round 3")
         return res
     except Exception as ex:  # noqa: BLE001 - recorded, not raised
         return {"error": f"{type(ex).__name__}: {ex}"[:400],

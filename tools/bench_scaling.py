@@ -47,9 +47,14 @@ by_data = -(-n_edges // EDGE_ROWS_PER_PARTITION)
 parts = max(hi_cores, min(8 * hi_cores, by_data))
 # warmup: one short run to JIT/plan-cache (2 supersteps touch every
 # codegen'd stage; round-3 trim -- the host got slower between rounds and
-# the local[2] leg must fit the subprocess timeout with margin)
+# the local[2] leg must fit the subprocess timeout with margin).
+# small_graph_edges=0 everywhere: this harness measures the DISTRIBUTED
+# loop's scaling by definition -- without it a small --convs probe would
+# silently dispatch to the single-task subcritical kernel and "measure"
+# a one-task job at both levels.
 page_rank(g, PageRankConfig(max_iterations=2, tolerance=0.0,
-                            partitions=parts)).state.count()
+                            partitions=parts,
+                            small_graph_edges=0)).state.count()
 # check_every=3 = the bench.py production config (superstep batching).
 # THROUGHPUT IS THE SUPERSTEP LOOP ONLY (sum of run_pregel's per-boundary
 # walls): page_rank() re-materializes the projected edge table inside the
@@ -62,7 +67,8 @@ page_rank(g, PageRankConfig(max_iterations=2, tolerance=0.0,
 # host whose pure-CPU 2->8 scaling was 0.92 at the same minute -- the
 # non-scaling projection share, not the engine, set the slope.
 res = page_rank(g, PageRankConfig(max_iterations=9, tolerance=0.0,
-                                  check_every=3, partitions=parts))
+                                  check_every=3, partitions=parts,
+                                  small_graph_edges=0))
 res.state.count()
 loop_wall = sum(m["wall_s"] for m in res.metrics)
 supersteps = res.iterations
