@@ -29,19 +29,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import DST, SRC, W, SparkGraph
-from ..plans.pregel import prepare_edges
+from ..plans.local_kernel import local_hits, should_run_local
+from ..plans.pregel import auto_partitions, prepare_edges
 
 
 @dataclass
 class HitsConfig:
     hits_iterations: int = 20
     partitions: int | None = None
+    # subcritical fast path (plans/local_kernel.py); None -> 2M-edge
+    # default, 0 disables. 2 shuffles + 2 norm phases per iteration become
+    # zero jobs on small graphs.
+    small_graph_edges: int | None = None
 
 
 def hits(graph: SparkGraph, config: HitsConfig | None = None) -> DataFrame:
     """(id, auth, hub): L2-normalized per phase, GDS phase order."""
     cfg = config or HitsConfig()
-    edges = prepare_edges(graph.edges.select(SRC, DST), cfg.partitions)
+    eset = graph.edges.select(SRC, DST).persist()
+    n_edges = eset.count()
+    if should_run_local(n_edges, cfg.small_graph_edges, None):
+        out = local_hits(eset, graph.nodes.select("id"),
+                         cfg.hits_iterations)
+        eset.unpersist()
+        return out
+    edges = prepare_edges(
+        eset, cfg.partitions or auto_partitions(n_edges, eset.sparkSession))
     nodes = graph.nodes.select("id")
 
     from ..plans.checkpoint import truncate
@@ -93,6 +106,7 @@ def hits(graph: SparkGraph, config: HitsConfig | None = None) -> DataFrame:
         )
         state = truncate(_l2_normalized(state, "hub"), "hits")
     edges.unpersist()
+    eset.unpersist()
     return state.select("id", "auth", "hub")
 
 

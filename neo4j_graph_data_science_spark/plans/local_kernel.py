@@ -222,6 +222,42 @@ def local_wcc(edges: DataFrame, state0: DataFrame):
     return out.select("id", "comp"), int(head["iters"]) if head else 0, wall
 
 
+HITS_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("auth", DoubleType()),
+    StructField("hub", DoubleType()),
+])
+
+
+def local_hits(edges: DataFrame, nodes: DataFrame, iterations: int):
+    """HITS in one task, GDS phase order (HitsComputation.java): INIT
+    auth = in-degree L2-normalized, hub = 1; per iteration
+    auth = sum(hub of in-neighbors) normalized, then
+    hub = sum(auth of out-neighbors) normalized. ``edges`` keeps parallel
+    edges (multigraph sums), exactly like the distributed path."""
+    def kernel(epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(spdf["id"].to_numpy(dtype="int64"))
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame({"id": [], "auth": [], "hub": []}).astype(
+                {"id": "int64", "auth": "float64", "hub": "float64"})
+        src_idx, dst_idx, _ = _index_edges(ids, epdf)
+
+        def l2(x: np.ndarray) -> np.ndarray:
+            nrm = float(np.sqrt((x * x).sum()))
+            return x / nrm if nrm > 0 else x
+
+        auth = l2(np.bincount(dst_idx, minlength=n).astype("float64"))
+        hub = np.ones(n, dtype="float64")
+        for _ in range(iterations):
+            auth = l2(np.bincount(dst_idx, weights=hub[src_idx], minlength=n))
+            hub = l2(np.bincount(src_idx, weights=auth[dst_idx], minlength=n))
+        return pd.DataFrame({"id": ids, "auth": auth, "hub": hub})
+
+    out = _first_row(_run_cogrouped(edges, nodes, kernel, HITS_SCHEMA))
+    return out.select("id", "auth", "hub")
+
+
 LPA_SCHEMA = StructType([
     StructField("id", LongType()),
     StructField("label", LongType()),

@@ -133,6 +133,25 @@ def test_lpa_local_directed_and_seeded(spark):
         assert ll == ld, kwargs
 
 
+def test_hits_local_matches_distributed(spark):
+    from neo4j_graph_data_science_spark.operators.centrality import (
+        HitsConfig, hits,
+    )
+
+    # parallel edge (0,1) twice: multigraph sums must be preserved
+    g = from_edge_list(spark, EDGES + [(0, 1)], n_nodes=8)
+    loc = hits(g, HitsConfig(hits_iterations=6,
+                             small_graph_edges=FORCE_LOCAL))
+    dist = hits(g, HitsConfig(hits_iterations=6,
+                              small_graph_edges=FORCE_DIST))
+    dl = {r["id"]: (r["auth"], r["hub"]) for r in loc.collect()}
+    dd = {r["id"]: (r["auth"], r["hub"]) for r in dist.collect()}
+    assert dl.keys() == dd.keys()
+    for k in dl:
+        assert dl[k][0] == pytest.approx(dd[k][0], abs=1e-9)
+        assert dl[k][1] == pytest.approx(dd[k][1], abs=1e-9)
+
+
 def test_kill_switch_env(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LOCAL_KERNEL", "0")
     g = from_edge_list(spark, EDGES, n_nodes=8)
