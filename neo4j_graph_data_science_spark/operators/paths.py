@@ -27,6 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import DST, SRC, W, SparkGraph
+from ..plans.local_kernel import (
+    LOCAL_PATHS_MAX_EDGES, local_dijkstra_paths, local_relax_dist,
+    should_run_local,
+)
 from ..plans.pregel import PregelConfig, prepare_edges, run_pregel
 
 INF = float("inf")
@@ -37,6 +41,11 @@ class PathConfig:
     max_iterations: int = 200
     weighted: bool = False
     partitions: int | None = None
+    # subcritical fast path (plans/local_kernel.py): dist-only ops (bfs /
+    # shortest_paths) default to the 2M-edge kernel threshold; the
+    # with-paths ops (dijkstra/astar) default to the tighter
+    # LOCAL_PATHS_MAX_EDGES. 0 disables.
+    small_graph_edges: int | None = None
 
 
 def _relax_loop(edges: DataFrame, state0: DataFrame, cost, max_iters: int) -> DataFrame:
@@ -73,15 +82,23 @@ def bfs(graph: SparkGraph, sources: Sequence[int],
         config: PathConfig | None = None) -> DataFrame:
     """(id, dist): minimum hop count from any source; unreachable omitted."""
     cfg = config or PathConfig()
-    edges = prepare_edges(graph.edges.select(SRC, DST).distinct(), cfg.partitions)
+    eset = graph.edges.select(SRC, DST).distinct().persist()
+    n_edges = eset.count()
     src_list = [int(s) for s in sources]
     state0 = graph.nodes.select(
         "id",
         F.when(F.col("id").isin(src_list), F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
         F.col("id").isin(src_list).alias("changed"),
     )
+    if should_run_local(n_edges, cfg.small_graph_edges, None):
+        out = local_relax_dist(eset, state0.select("id", "dist"),
+                               cfg.max_iterations, hop_cost=True)
+        eset.unpersist()
+        return out.select("id", F.col("dist").cast("long").alias("dist"))
+    edges = prepare_edges(eset, cfg.partitions)
     out = _relax_loop(edges, state0, F.col("_sd") + F.lit(1.0), cfg.max_iterations)
     edges.unpersist()
+    eset.unpersist()
     return out.filter(F.col("dist") != INF).select(
         "id", F.col("dist").cast("long").alias("dist")
     )
@@ -95,8 +112,8 @@ def shortest_paths(graph: SparkGraph, sources: Sequence[int] | DataFrame,
     one-column DataFrame of ids, so callers with a distributed source set
     (e.g. the Steiner tree's growing node set) never collect it."""
     cfg = config or PathConfig()
-    e = graph.aggregated_edges("MIN")
-    edges = prepare_edges(e, cfg.partitions)
+    e = graph.aggregated_edges("MIN").persist()
+    n_edges = e.count()
     if isinstance(sources, DataFrame):
         src_df = sources.select(
             F.col(sources.columns[0]).cast("long").alias("id"),
@@ -114,8 +131,15 @@ def shortest_paths(graph: SparkGraph, sources: Sequence[int] | DataFrame,
             F.when(F.col("id").isin(src_list), F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
             F.col("id").isin(src_list).alias("changed"),
         )
+    if should_run_local(n_edges, cfg.small_graph_edges, None):
+        out = local_relax_dist(e, state0.select("id", "dist"),
+                               cfg.max_iterations)
+        e.unpersist()
+        return out
+    edges = prepare_edges(e, cfg.partitions)
     out = _relax_loop(edges, state0, F.col("_sd") + F.col(W), cfg.max_iterations)
     edges.unpersist()
+    e.unpersist()
     return out.filter(F.col("dist") != INF)
 
 
@@ -302,6 +326,17 @@ def dijkstra(graph: SparkGraph, source: int, target: int | None = None,
     fixpoint (pinned by test_paths_family parity test)."""
     cfg = config or PathConfig()
     e = graph.aggregated_edges("MIN").localCheckpoint(eager=True)
+    n_edges = e.count()
+    if should_run_local(n_edges,
+                        (LOCAL_PATHS_MAX_EDGES if cfg.small_graph_edges is None
+                         else cfg.small_graph_edges), None):
+        # whole dist/pred/backtrack pipeline in one task: Yen's runs one
+        # dijkstra per spur candidate, each of which was ~10 Spark jobs of
+        # pure fixed cost on subcritical spur graphs
+        out = local_dijkstra_paths(e, graph.nodes.select("id"), source,
+                                   target, cfg.max_iterations)
+        return out.select(F.lit(source).cast("long").alias("source"),
+                          "target", "total_cost", "node_ids", "costs")
     pruned_ok = False
     if target is not None:
         wmin = e.agg(F.min(W).alias("_w")).collect()[0]["_w"]
@@ -354,19 +389,32 @@ def astar(graph: SparkGraph, source: int, target: int,
     filter, still exact for admissible h.
     """
     cfg = config or PathConfig()
-    e = graph.aggregated_edges("MIN")
+    e = graph.aggregated_edges("MIN").persist()
+    n_edges = e.count()
+    if should_run_local(n_edges,
+                        (LOCAL_PATHS_MAX_EDGES if cfg.small_graph_edges is None
+                         else cfg.small_graph_edges), None):
+        # admissible h only prunes the search order, never the answer, so
+        # the subcritical path reuses the exact dijkstra kernel
+        out = local_dijkstra_paths(e, graph.nodes.select("id"), source,
+                                   target, cfg.max_iterations)
+        e.unpersist()
+        return out.select(F.lit(source).cast("long").alias("source"),
+                          "target", "total_cost", "node_ids")
     edges = prepare_edges(e, cfg.partitions)
     dist = _target_pruned_dist(graph.nodes.select("id"), edges, source,
                                target, cfg.max_iterations, heuristic=heuristic)
     edges.unpersist()
     e2 = graph.aggregated_edges("MIN")
     preds = _deterministic_predecessors(e2, dist)
-    return (
+    out = (
         _reconstruct_paths(dist, preds, source, cfg.max_iterations)
         .filter(F.col("target") == target)
         .select(F.lit(source).cast("long").alias("source"), "target",
                 "total_cost", "node_ids")
     )
+    e.unpersist()
+    return out
 
 
 def yens(graph: SparkGraph, source: int, target: int, k: int = 3,

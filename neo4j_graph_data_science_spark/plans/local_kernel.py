@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BooleanType, DoubleType, LongType, StructField, StructType,
+    ArrayType, BooleanType, DoubleType, LongType, StructField, StructType,
 )
 
 from ..catalog import DST, SRC, W
@@ -220,6 +220,144 @@ def local_wcc(edges: DataFrame, state0: DataFrame):
     head = out.select("iters").first()
     wall = time.time() - t0
     return out.select("id", "comp"), int(head["iters"]) if head else 0, wall
+
+
+DIST_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("dist", DoubleType()),
+])
+
+
+def local_relax_dist(edges: DataFrame, state0: DataFrame,
+                     max_iterations: int, hop_cost: bool = False):
+    """Min-plus relaxation fixpoint in one task (the numpy twin of
+    operators/paths._relax_loop): state0 is (id, dist[, changed]) with dist
+    0.0 at sources and +inf elsewhere; per round only edges out of
+    just-changed nodes relax (same frontier semantics, so a
+    max_iterations-truncated run matches the distributed iterate exactly).
+    ``hop_cost=True`` ignores the weight column (BFS). Returns finite
+    (id, dist) rows only."""
+    def kernel(epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        ids = spdf["id"].to_numpy(dtype="int64")
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        dist = spdf["dist"].to_numpy(dtype="float64")[order]
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame({"id": [], "dist": []}).astype(
+                {"id": "int64", "dist": "float64"})
+        src_idx, dst_idx, valid = _index_edges(ids, epdf)
+        if hop_cost or W not in epdf.columns:
+            w = np.ones(len(src_idx), dtype="float64")
+        else:
+            w = epdf[W].to_numpy(dtype="float64")[valid]
+        changed = np.isfinite(dist)
+        for _ in range(max_iterations):
+            if not changed.any():
+                break
+            em = changed[src_idx] & np.isfinite(dist[src_idx])
+            nxt = dist.copy()
+            np.minimum.at(nxt, dst_idx[em], dist[src_idx[em]] + w[em])
+            changed = nxt < dist
+            dist = nxt
+        keep = np.isfinite(dist)
+        return pd.DataFrame({"id": ids[keep], "dist": dist[keep]})
+
+    return _first_row(_run_cogrouped(edges, state0, kernel, DIST_SCHEMA))
+
+
+PATHS_SCHEMA = StructType([
+    StructField("target", LongType()),
+    StructField("total_cost", DoubleType()),
+    StructField("node_ids", ArrayType(LongType())),
+    StructField("costs", ArrayType(DoubleType())),
+])
+
+# the paths variant walks pred chains in python (O(sum path length)), so
+# its dispatch threshold is tighter than the pure-vector kernels'
+LOCAL_PATHS_MAX_EDGES = 200_000
+
+
+def local_dijkstra_paths(edges: DataFrame, nodes: DataFrame, source: int,
+                         target: int | None, max_iterations: int):
+    """dijkstra()-in-one-task: relaxation fixpoint, THEN deterministic
+    predecessors (pred(v) = min in-neighbor id u with
+    |dist(u)+w(u,v)-dist(v)| < 1e-9 — the same converged-distance tie-break
+    as operators/paths._deterministic_predecessors, same 1e-9 tolerance),
+    THEN pred-chain backtracking with per-node cumulative cost arrays.
+    Returns (target, total_cost, node_ids, costs); the caller adds the
+    source column. Semantics pinned against the distributed path by
+    tests/test_local_kernel.py."""
+    src_node, tgt = int(source), (None if target is None else int(target))
+
+    def kernel(epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"target": pd.Series(dtype="int64"),
+             "total_cost": pd.Series(dtype="float64"),
+             "node_ids": pd.Series(dtype="object"),
+             "costs": pd.Series(dtype="object")})
+        ids = np.sort(spdf["id"].to_numpy(dtype="int64"))
+        n = len(ids)
+        if n == 0:
+            return empty
+        pos = np.searchsorted(ids, src_node)
+        if pos >= n or ids[pos] != src_node:
+            return empty
+        src_idx, dst_idx, valid = _index_edges(ids, epdf)
+        w = (epdf[W].to_numpy(dtype="float64") if W in epdf.columns
+             else np.ones(len(epdf), dtype="float64"))[valid]
+        dist = np.full(n, np.inf)
+        dist[pos] = 0.0
+        changed = np.zeros(n, dtype=bool)
+        changed[pos] = True
+        for _ in range(max_iterations):
+            if not changed.any():
+                break
+            em = changed[src_idx] & np.isfinite(dist[src_idx])
+            nxt = dist.copy()
+            np.minimum.at(nxt, dst_idx[em], dist[src_idx[em]] + w[em])
+            changed = nxt < dist
+            dist = nxt
+        # deterministic predecessors from CONVERGED distances
+        tight = np.abs(dist[src_idx] + w - dist[dst_idx]) < 1e-9
+        pred = np.full(n, n, dtype="int64")  # n = "none"
+        np.minimum.at(pred, dst_idx[tight], src_idx[tight])
+        if tgt is not None:
+            tpos = np.searchsorted(ids, tgt)
+            if tpos >= n or ids[tpos] != tgt or not np.isfinite(dist[tpos]) \
+                    or tpos == pos:
+                return empty
+            targets = [int(tpos)]
+        else:
+            targets = [int(i) for i in np.where(np.isfinite(dist))[0]
+                       if i != pos]
+        rows = []
+        for t in targets:
+            chain = [t]
+            cur = t
+            for _ in range(max_iterations):
+                cur = int(pred[cur])
+                if cur >= n:
+                    chain = None  # chain dead-ends before the source
+                    break
+                chain.append(cur)
+                if cur == pos:
+                    break
+            else:
+                chain = None
+            if chain is None or chain[-1] != pos:
+                continue
+            chain.reverse()
+            rows.append((int(ids[t]), float(dist[t]),
+                         [int(ids[c]) for c in chain],
+                         [float(dist[c]) for c in chain]))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows,
+                            columns=["target", "total_cost", "node_ids",
+                                     "costs"])
+
+    return _first_row(_run_cogrouped(edges, nodes, kernel, PATHS_SCHEMA))
 
 
 HITS_SCHEMA = StructType([

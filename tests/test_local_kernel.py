@@ -152,6 +152,79 @@ def test_hits_local_matches_distributed(spark):
         assert dl[k][1] == pytest.approx(dd[k][1], abs=1e-9)
 
 
+PATH_EDGES = [
+    (0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0),  # two 0->3 ties
+    (3, 4, 1.0), (4, 5, 2.5), (0, 8, 7.0), (8, 5, 0.5),
+    (6, 7, 1.0),                                          # unreachable pair
+]
+
+
+def _path_rows(df):
+    return sorted(
+        (r["target"], r["total_cost"], tuple(r["node_ids"]),
+         tuple(r["costs"]) if "costs" in df.columns else ())
+        for r in df.collect())
+
+
+def test_dijkstra_paths_local_matches_distributed(spark):
+    from neo4j_graph_data_science_spark.operators.paths import (
+        PathConfig, dijkstra,
+    )
+
+    g = from_edge_list(spark, PATH_EDGES, n_nodes=9)
+    loc = dijkstra(g, 0, config=PathConfig(small_graph_edges=FORCE_LOCAL))
+    dist = dijkstra(g, 0, config=PathConfig(small_graph_edges=FORCE_DIST))
+    assert _path_rows(loc) == _path_rows(dist)
+    # single target (exercises the pruned distributed path too)
+    lt = dijkstra(g, 0, target=5,
+                  config=PathConfig(small_graph_edges=FORCE_LOCAL))
+    dt = dijkstra(g, 0, target=5,
+                  config=PathConfig(small_graph_edges=FORCE_DIST))
+    assert _path_rows(lt) == _path_rows(dt)
+    assert _path_rows(lt)[0][2] == (0, 1, 3, 4, 5)
+    # unreachable target
+    assert dijkstra(g, 0, target=7,
+                    config=PathConfig(small_graph_edges=FORCE_LOCAL)) \
+        .collect() == []
+
+
+def test_bfs_and_sssp_local_match_distributed(spark):
+    from neo4j_graph_data_science_spark.operators.paths import (
+        PathConfig, bfs, shortest_paths,
+    )
+
+    g = from_edge_list(spark, PATH_EDGES, n_nodes=9)
+    for fn in (bfs, shortest_paths):
+        loc = fn(g, [0, 6], PathConfig(small_graph_edges=FORCE_LOCAL))
+        dist = fn(g, [0, 6], PathConfig(small_graph_edges=FORCE_DIST))
+        dl = {r["id"]: r["dist"] for r in loc.collect()}
+        dd = {r["id"]: r["dist"] for r in dist.collect()}
+        assert dl == dd, fn.__name__
+    # DataFrame-typed source set (the Steiner call shape)
+    src_df = spark.createDataFrame([(0,), (6,)], "id long")
+    loc = shortest_paths(g, src_df, PathConfig(small_graph_edges=FORCE_LOCAL))
+    dd = {r["id"]: r["dist"] for r in shortest_paths(
+        g, src_df, PathConfig(small_graph_edges=FORCE_DIST)).collect()}
+    assert {r["id"]: r["dist"] for r in loc.collect()} == dd
+
+
+def test_astar_local_matches_distributed(spark):
+    from pyspark.sql import functions as SF
+
+    from neo4j_graph_data_science_spark.operators.paths import (
+        PathConfig, astar,
+    )
+
+    g = from_edge_list(spark, PATH_EDGES, n_nodes=9)
+    h = g.nodes.select("id", SF.lit(0.0).alias("h"))
+    loc = astar(g, 0, 5, h, PathConfig(small_graph_edges=FORCE_LOCAL))
+    dist = astar(g, 0, 5, h, PathConfig(small_graph_edges=FORCE_DIST))
+    lr, dr = loc.collect(), dist.collect()
+    assert len(lr) == len(dr) == 1
+    assert lr[0]["total_cost"] == dr[0]["total_cost"]
+    assert list(lr[0]["node_ids"]) == list(dr[0]["node_ids"])
+
+
 def test_kill_switch_env(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LOCAL_KERNEL", "0")
     g = from_edge_list(spark, EDGES, n_nodes=8)
