@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import DST, SRC, SparkGraph
+from ..plans.local_kernel import local_scc, should_run_local
 from ..plans.pregel import PregelConfig, prepare_edges, run_pregel
 
 
@@ -40,6 +41,9 @@ class SccConfig:
     max_outer_rounds: int = 50
     max_propagation_iters: int = 200
     partitions: int | None = None
+    # subcritical fast path: one-task iterative Tarjan (the reference's own
+    # execution shape) below 2M edges; 0 disables.
+    small_graph_edges: int | None = None
 
 
 def _min_propagate(edges: DataFrame, nodes: DataFrame, reverse: bool,
@@ -80,6 +84,9 @@ def scc(graph: SparkGraph, config: SccConfig | None = None) -> DataFrame:
     # the previous round's DFs multiple times, so only true lineage
     # truncation keeps Catalyst analysis O(1) per round.
     all_edges = graph.edges.select(SRC, DST).distinct().localCheckpoint(eager=True)
+    n_edges = all_edges.count()
+    if should_run_local(n_edges, cfg.small_graph_edges, None):
+        return local_scc(all_edges, graph.nodes.select("id"))
     remaining = graph.nodes.select("id").localCheckpoint(eager=True)
     assigned_parts: list[DataFrame] = []
 

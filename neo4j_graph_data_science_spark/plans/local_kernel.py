@@ -360,6 +360,82 @@ def local_dijkstra_paths(edges: DataFrame, nodes: DataFrame, source: int,
     return _first_row(_run_cogrouped(edges, nodes, kernel, PATHS_SCHEMA))
 
 
+SCC_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("component", LongType()),
+])
+
+
+def local_scc(edges: DataFrame, nodes: DataFrame):
+    """Iterative Tarjan in one task — the reference's own execution shape
+    (Scc.java:36 is a sequential iterative Tarjan) — with components
+    canonicalized to min member id like the distributed FB-peeling path.
+    Self-loops are dropped (a self-loop never changes the partition)."""
+    def kernel(epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(spdf["id"].to_numpy(dtype="int64"))
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame({"id": [], "component": []}).astype(
+                {"id": "int64", "component": "int64"})
+        src_idx, dst_idx, _ = _index_edges(ids, epdf)
+        keep = src_idx != dst_idx
+        src_idx, dst_idx = src_idx[keep], dst_idx[keep]
+        order = np.argsort(src_idx, kind="mergesort")
+        adj = dst_idx[order]
+        indptr = np.zeros(n + 1, dtype="int64")
+        np.add.at(indptr, src_idx + 1, 1)
+        indptr = np.cumsum(indptr)
+        index = np.full(n, -1, dtype="int64")
+        low = np.zeros(n, dtype="int64")
+        onstk = np.zeros(n, dtype=bool)
+        it_ptr = np.zeros(n, dtype="int64")
+        comp = np.empty(n, dtype="int64")
+        counter = 0
+        stk: list[int] = []
+        for root in range(n):
+            if index[root] != -1:
+                continue
+            work = [root]
+            while work:
+                v = work[-1]
+                if index[v] == -1:
+                    index[v] = low[v] = counter
+                    counter += 1
+                    stk.append(v)
+                    onstk[v] = True
+                    it_ptr[v] = indptr[v]
+                advanced = False
+                while it_ptr[v] < indptr[v + 1]:
+                    u = int(adj[it_ptr[v]])
+                    it_ptr[v] += 1
+                    if index[u] == -1:
+                        work.append(u)
+                        advanced = True
+                        break
+                    if onstk[u]:
+                        if index[u] < low[v]:
+                            low[v] = index[u]
+                if advanced:
+                    continue
+                work.pop()
+                if work and low[v] < low[work[-1]]:
+                    low[work[-1]] = low[v]
+                if low[v] == index[v]:
+                    members = []
+                    while True:
+                        u = stk.pop()
+                        onstk[u] = False
+                        members.append(u)
+                        if u == v:
+                            break
+                    m = int(ids[min(members)])  # sorted ids: min idx = min id
+                    for u in members:
+                        comp[u] = m
+        return pd.DataFrame({"id": ids, "component": comp})
+
+    return _first_row(_run_cogrouped(edges, nodes, kernel, SCC_SCHEMA))
+
+
 HITS_SCHEMA = StructType([
     StructField("id", LongType()),
     StructField("auth", DoubleType()),

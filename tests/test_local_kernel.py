@@ -225,6 +225,26 @@ def test_astar_local_matches_distributed(spark):
     assert list(lr[0]["node_ids"]) == list(dr[0]["node_ids"])
 
 
+def test_scc_local_matches_distributed(spark):
+    from neo4j_graph_data_science_spark.operators.scc import SccConfig, scc
+
+    # two cycles bridged one-way, a chain, a self-loop, an isolate
+    edges = [
+        (0, 1), (1, 2), (2, 0),          # SCC {0,1,2}
+        (2, 3), (3, 4), (4, 3),          # SCC {3,4}
+        (5, 6),                          # singletons
+        (7, 7),                          # self-loop singleton
+    ]
+    g = from_edge_list(spark, edges, n_nodes=9)
+    loc = scc(g, SccConfig(small_graph_edges=FORCE_LOCAL))
+    dist = scc(g, SccConfig(small_graph_edges=FORCE_DIST))
+    cl = {r["id"]: r["component"] for r in loc.collect()}
+    cd = {r["id"]: r["component"] for r in dist.collect()}
+    assert cl == cd
+    assert cl[0] == cl[1] == cl[2] == 0 and cl[3] == cl[4] == 3
+    assert cl[5] == 5 and cl[6] == 6 and cl[7] == 7 and cl[8] == 8
+
+
 def test_kill_switch_env(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LOCAL_KERNEL", "0")
     g = from_edge_list(spark, EDGES, n_nodes=8)
