@@ -331,6 +331,17 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wcc(g, WccConfig()).state.select("id", "component")
 
 
+def q_wcc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star WCC (Kiveris et al.; operators/wcc.py
+    wcc_two_phase): edge-contracting alternative to label propagation with
+    identical min-member components — verified against the SAME closure
+    oracle as wcc_events."""
+    from neo4j_graph_data_science_spark.operators.wcc import wcc_two_phase
+
+    g = events_graph(spark, sf_dir)
+    return wcc_two_phase(g, WccConfig()).state.select("id", "component")
+
+
 def q_wcc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = events_graph(spark, sf_dir)
     comp = wcc(g, WccConfig()).state
@@ -3603,6 +3614,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_global": q_triangles_global,
         "wcc_consecutive_events": q_wcc_consecutive,
         "wcc_events": q_wcc,
+        "wcc_two_phase_events": q_wcc_two_phase,
         "wcc_stats": q_wcc_stats,
         "articulation_events_sub": q_articulation,
         "ivf_topk_embeddings": q_ivf_topk,
@@ -3701,6 +3713,8 @@ FROM nodes n LEFT JOIN (
         "steiner_events_sub": _steiner_sql(),
         "dfs_events_sub": _dfs_sql(),
         "wcc_events": f"""{_WCC_CLOSURE}
+SELECT id, component FROM comp ORDER BY id""",
+        "wcc_two_phase_events": f"""{_WCC_CLOSURE}
 SELECT id, component FROM comp ORDER BY id""",
         "wcc_stats": f"""{_WCC_CLOSURE},
 sizes AS (SELECT component, count(*) AS size FROM comp GROUP BY component)

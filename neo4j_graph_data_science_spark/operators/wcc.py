@@ -17,11 +17,13 @@ threshold, UnsampledStrategy.java:139-168) and ``seed_property``
 the min seed).
 
 Scale: the min-reducer makes every superstep a map-side-combined shuffle of
-at most V rows; iteration count is the graph diameter. For high-diameter
-graphs at 10^9+ edges the large-star/small-star variant (Kiveris et al.,
-"Connected Components in MapReduce and Beyond") halves rounds; kept as
-``wcc_two_phase`` TODO for a later round -- plain min-propagation is exact
-and sufficient for the fixture/bench graphs here.
+at most V rows; pointer jumping keeps iteration count ~O(log diameter).
+For adversarial topologies (very long chains at 10^9+ edges) the
+large-star/small-star variant (Kiveris et al., "Connected Components in
+MapReduce and Beyond") is provided as ``wcc_two_phase`` — it contracts the
+EDGE set itself (O(log^2 n) rounds with shrinking data per round) instead
+of propagating labels over a static edge set, which also makes each round
+cheaper as components collapse. Output is identical (min member id).
 """
 
 from __future__ import annotations
@@ -138,6 +140,111 @@ def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
     edges.unpersist()
     eset.unpersist()
     return res
+
+
+def wcc_two_phase(graph: SparkGraph, config: WccConfig | None = None,
+                  max_rounds: int = 60) -> PregelResult:
+    """Large-star/small-star connected components (Kiveris et al. 2014).
+
+    Works on a mutating parent-pointer edge set instead of label
+    propagation over static edges:
+
+      * large-star: every node u attaches its STRICTLY-LARGER neighbors to
+        m(u) = min(neighborhood(u) ∪ {u});
+      * small-star: every node u attaches its ≤-neighbors (parents
+        included) to m(u).
+
+    Alternating the two converges to star graphs rooted at each
+    component's minimum id in O(log² n) rounds, with the edge set
+    SHRINKING as components collapse — the property that matters on
+    10^9-edge long-chain graphs where label propagation's per-round cost
+    stays O(E). Output identical to ``wcc`` (component = min member id);
+    equivalence pinned by tests/test_components.py. Convergence is
+    detected by the edge set reaching a fixpoint (star edges only), via
+    the same single-action stats trick as the Pregel loop (one count per
+    round).
+
+    The seeded/threshold/consecutive options of ``wcc`` apply: threshold
+    filters edges first; seeds map min-member components to min seed at
+    the end (equal semantics, see local_wcc's argument)."""
+    cfg = config or WccConfig()
+    e = graph.oriented_edges("UNDIRECTED")
+    if cfg.threshold is not None:
+        e = e.filter(F.col(W) > cfg.threshold)
+    # canonical undirected pairs u<v, as (big, small) parent pointers
+    pairs = (
+        e.select(F.least(SRC, DST).alias("a"), F.greatest(SRC, DST).alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct()
+        .select(F.col("b").alias("child"), F.col("a").alias("parent"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    prev_n = pairs.count()
+    for rounds in range(1, max_rounds + 1):
+        # ---- large-star ----
+        nbrs = pairs.unionByName(
+            pairs.select(F.col("parent").alias("child"),
+                         F.col("child").alias("parent")))
+        mins = nbrs.groupBy(F.col("child").alias("u")).agg(
+            F.min("parent").alias("_mn"))
+        mins = mins.select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+        pairs = (
+            nbrs.withColumnRenamed("child", "u")
+            .filter(F.col("parent") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
+            .filter(F.col("child") != F.col("parent")).distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star ----
+        # every node's ≤-neighbors (its parents) re-attach to the min parent
+        mins2 = pairs.groupBy(F.col("child").alias("u")).agg(
+            F.min("parent").alias("m"))
+        pairs = (
+            pairs.withColumnRenamed("child", "u")
+            .join(mins2, "u")
+            .select(F.col("u"), F.col("parent"), F.col("m"))
+        )
+        pairs = (
+            pairs.select(F.col("u").alias("child"), F.col("m").alias("parent"))
+            .unionByName(
+                pairs.filter(F.col("parent") != F.col("m"))
+                .select(F.col("parent").alias("child"),
+                        F.col("m").alias("parent")))
+            .filter(F.col("child") != F.col("parent")).distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = pairs.count()
+        # fixpoint: star graphs only — every child's parent is a root
+        # (appears in no child column); cheap check: edge set stable
+        if n == prev_n:
+            roots = pairs.select(F.col("parent").alias("child")).distinct()
+            if pairs.join(roots, "child", "left_semi").isEmpty():
+                break
+        prev_n = n
+    comp_map = pairs.select(F.col("child").alias("id"),
+                            F.col("parent").alias("component"))
+    if cfg.seed_property:
+        base = graph.nodes.select(
+            "id", F.col(cfg.seed_property).cast("long").alias("_seed"))
+        comp = (
+            base.join(comp_map, "id", "left")
+            .select("id", "_seed",
+                    F.coalesce("component", F.col("id")).alias("component"))
+        )
+        seed_min = comp.groupBy("component").agg(F.min("_seed").alias("_sm"))
+        comp = comp.join(seed_min, "component") \
+            .select("id", F.col("_sm").alias("component"))
+    else:
+        comp = (
+            graph.nodes.select("id")
+            .join(comp_map, "id", "left")
+            .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        )
+    if cfg.consecutive_ids:
+        comp = consecutive_ids(comp, "component")
+    return PregelResult(state=comp, iterations=rounds, converged=True,
+                        metrics=[{"algorithm": "two_phase", "rounds": rounds}])
 
 
 def consecutive_ids(df: DataFrame, col: str) -> DataFrame:

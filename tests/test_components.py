@@ -93,3 +93,48 @@ def test_scc_chain_into_cycle(spark):
     g = from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 2)], n_nodes=5)
     rows = scc(g).collect()
     assert partitions(rows) == [{0}, {1}, {2, 3, 4}]
+
+
+def test_wcc_two_phase_equivalence(spark):
+    from neo4j_graph_data_science_spark.operators.wcc import wcc_two_phase
+
+    # long chain (adversarial for plain propagation), a clique, an isolate,
+    # and a hash-y random component
+    edges = [(i, i + 1) for i in range(0, 30)]
+    edges += [(40 + a, 40 + b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(50 + (i * 7) % 11, 50 + (i * 5) % 11) for i in range(11)]
+    g = from_edge_list(spark, edges, n_nodes=70)  # 62..69 isolated
+    base = {r["id"]: r["component"]
+            for r in wcc(g, WccConfig()).state.collect()}
+    two = wcc_two_phase(g, WccConfig())
+    got = {r["id"]: r["component"] for r in two.state.collect()}
+    assert got == base
+    assert two.converged and two.iterations < 12
+
+
+def test_wcc_two_phase_options(spark):
+    from neo4j_graph_data_science_spark.catalog import SparkGraph
+    from neo4j_graph_data_science_spark.operators.wcc import wcc_two_phase
+
+    g = from_edge_list(spark, [(0, 1, 5.0), (1, 2, 0.5), (3, 4, 2.0)],
+                       n_nodes=6)
+    # threshold: the 0.5 edge is dropped at threshold 1.0
+    got = {r["id"]: r["component"] for r in wcc_two_phase(
+        g, WccConfig(threshold=1.0)).state.collect()}
+    want = {r["id"]: r["component"] for r in wcc(
+        g, WccConfig(threshold=1.0)).state.collect()}
+    assert got == want and got[2] == 2
+    # seeds map components to min seed
+    nodes = g.nodes.withColumn("seed", F.col("id") * 10 + 100)
+    gs = SparkGraph(nodes=nodes, edges=g.edges)
+    got = {r["id"]: r["component"] for r in wcc_two_phase(
+        gs, WccConfig(seed_property="seed")).state.collect()}
+    want = {r["id"]: r["component"] for r in wcc(
+        gs, WccConfig(seed_property="seed")).state.collect()}
+    assert got == want
+    # consecutive ids
+    got = {r["id"]: r["component"] for r in wcc_two_phase(
+        g, WccConfig(consecutive_ids=True)).state.collect()}
+    want = {r["id"]: r["component"] for r in wcc(
+        g, WccConfig(consecutive_ids=True)).state.collect()}
+    assert got == want
