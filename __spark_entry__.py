@@ -3561,6 +3561,109 @@ def _guarded(fn: Callable[[SparkSession, str], DataFrame]):
     return wrapper
 
 
+def _kge_rel_embedding(dim: int = 64) -> list[float]:
+    """Deterministic relationship-type embedding both engines can emit:
+    r_i = (((i*7) % 5) - 2) / 2.0."""
+    return [(((i * 7) % 5) - 2) / 2.0 for i in range(dim)]
+
+
+def _kge_result(spark: SparkSession, sf_dir: str, score_function: str) -> DataFrame:
+    """gds.ml.kge.predict (TopKMapComputer.java:22) over the embeddings
+    table: sources vec_id < 20, all targets, top-5 per source, existing
+    edges (vec_id -> (vec_id*37+11) mod n) excluded, DistMult/TransE
+    scorers (LinkScorerFactory.java)."""
+    from neo4j_graph_data_science_spark.operators.kge import kge_predict
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    edges = emb.select(
+        F.col("vec_id").alias(SRC),
+        F.pmod(F.col("vec_id") * 37 + 11, F.lit(n)).alias(DST))
+    nodes = emb.select(F.col("vec_id").alias("id"), "embedding")
+    out = kge_predict(nodes, edges, _kge_rel_embedding(), score_function,
+                      top_k=5, id_col="id", vec_col="embedding",
+                      source_filter="node < 20")
+    return out.select("source_id", "target_id",
+                      F.round("score", 6).alias("score"))
+
+
+def q_kge_distmult(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kge_result(spark, sf_dir, "distmult")
+
+
+def q_kge_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kge_result(spark, sf_dir, "transe")
+
+
+def _kge_sql(score_function: str, dim: int = 64) -> str:
+    """Oracle: brute-force KGE scoring replayed in DuckDB -- same
+    candidate predicate (s != t, no existing edge), same deterministic r,
+    same (score best-first, target asc) top-5."""
+    if score_function == "distmult":
+        score = "sum(sv[i] * rv * tv[i])"
+        order = "score DESC"
+    else:
+        score = "sqrt(sum((sv[i] + rv - tv[i]) * (sv[i] + rv - tv[i])))"
+        order = "score ASC"
+    return f"""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+ex AS (
+  SELECT vec_id AS source_id, (vec_id * 37 + 11) % (SELECT n FROM cnt) AS target_id
+  FROM embeddings
+),
+q AS (SELECT vec_id AS source_id, embedding::DOUBLE[] AS sv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS target_id, embedding::DOUBLE[] AS tv FROM embeddings),
+r AS (SELECT i, ((((i - 1) * 7) % 5) - 2) / 2.0 AS rv
+      FROM unnest(generate_series(1, {dim})) t(i)),
+scored AS (
+  SELECT q.source_id, c.target_id, {score} AS score
+  FROM q, c, r
+  WHERE q.source_id <> c.target_id
+    AND NOT EXISTS (SELECT 1 FROM ex
+                    WHERE ex.source_id = q.source_id
+                      AND ex.target_id = c.target_id)
+  GROUP BY q.source_id, c.target_id
+)
+SELECT source_id, target_id, round(score, 6) AS score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source_id ORDER BY {order}, target_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5 ORDER BY source_id, target_id"""
+
+
+def q_split_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.ml.splitRelationships (SplitRelationships.java,
+    EdgeSplitter.java): 30% positive holdout of the part co-occurrence
+    edges, md5 draw so the ranking replays in DuckDB. Returns every edge
+    tagged with the side it landed on."""
+    from neo4j_graph_data_science_spark.operators.splitting import (
+        split_relationships,
+    )
+
+    g = part_co_occurrence_graph(spark, sf_dir)
+    res = split_relationships(g.edges, holdout_fraction=0.3, seed=11,
+                              hash_mode="md5")
+    sel = res.selected.select(SRC, DST, F.lit("selected").alias("part"))
+    rem = res.remaining.select(SRC, DST, F.lit("remaining").alias("part"))
+    return sel.unionByName(rem)
+
+
+def _split_rels_sql() -> str:
+    return f"""WITH {_PART_CANON},
+h AS (
+  SELECT src, dst, md5(concat_ws(':', 11, src, dst)) AS hh,
+         count(*) OVER () AS nn
+  FROM canon
+),
+r AS (
+  SELECT src, dst, row_number() OVER (ORDER BY hh, src, dst) AS rn,
+         floor(nn * 0.3) AS cut
+  FROM h
+)
+SELECT src, dst,
+       CASE WHEN rn <= cut THEN 'selected' ELSE 'remaining' END AS part
+FROM r ORDER BY src, dst"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _guarded(v) for k, v in _raw_queries().items()}
 
@@ -3578,6 +3681,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5_docs": q_simhash_md5,
         "vector_sims": q_vector_sims,
         "ann_topk": q_ann_topk,
+        "kge_distmult_embeddings": q_kge_distmult,
+        "kge_transe_embeddings": q_kge_transe,
+        "split_rels_md5_parts": q_split_rels,
         "degree_events": q_degree,
         "token_stats_docs": q_token_stats,
         "simhash_docs": q_simhash,
@@ -3968,6 +4074,9 @@ FROM best WHERE rn = 1 ORDER BY doc_id""",
         "fingerprint_docs": """SELECT doc_id,
        md5(array_to_string(regexp_split_to_array(trim(text), '\\s+'), chr(1))) AS fingerprint
 FROM documents ORDER BY doc_id""",
+        "kge_distmult_embeddings": _kge_sql("distmult"),
+        "kge_transe_embeddings": _kge_sql("transe"),
+        "split_rels_md5_parts": _split_rels_sql(),
         "ann_topk": """WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 25
 ),

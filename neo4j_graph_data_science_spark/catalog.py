@@ -90,6 +90,37 @@ class SparkGraph:
         )
         return SparkGraph(n, e, self.id_map, self.orientation, self.name)
 
+    def stream_node_properties(self, *keys: str) -> DataFrame:
+        """(id, node_property, property_value): long-format property
+        stream -- gds.graph.streamNodeProperties / .nodeProperties
+        (proc/catalog GraphStreamNodePropertiesProc). Values are cast to
+        double (GDS streams one typed column; numeric properties are the
+        supported surface here)."""
+        parts = [
+            self.nodes.select(
+                "id", F.lit(k).alias("node_property"),
+                F.col(k).cast("double").alias("property_value"))
+            for k in keys
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def drop_node_property(self, key: str) -> "SparkGraph":
+        """gds.graph.nodeProperties.drop (removeNodeProperties)."""
+        if key not in self.nodes.columns or key == "id":
+            raise KeyError(f"node property {key!r} not in graph")
+        return SparkGraph(self.nodes.drop(key), self.edges, self.id_map,
+                          self.orientation, self.name)
+
+    def delete_relationships(self, rel_type: str) -> "SparkGraph":
+        """gds.graph.relationships.drop / deleteRelationships: remove one
+        relationship type from the store."""
+        e = self.edges.filter(F.col(REL) != F.lit(rel_type))
+        return SparkGraph(self.nodes, e, self.id_map, self.orientation,
+                          self.name)
+
     def oriented_edges(self, orientation: Orientation | str | None = None) -> DataFrame:
         """Edge DF under an orientation (Orientation.java:29-41).
 

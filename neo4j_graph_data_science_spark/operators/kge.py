@@ -1,0 +1,108 @@
+"""Knowledge-graph-embedding link prediction (gds.ml.kge.predict).
+
+Reference semantics (algo/src/main/java/org/neo4j/gds/algorithms/
+machinelearning/TopKMapComputer.java:22, LinkScorerFactory.java):
+given a per-node embedding property and one relationship-type embedding
+vector r, score every candidate (source, target) pair with
+
+  * DISTMULT (DoubleDistMultLinkScorer.java:  score = sum_i s_i*r_i*t_i,
+    HIGHER is better), or
+  * TRANSE   (DoubleEuclideanDistanceLinkScorer.java:
+    score = sqrt(sum_i (s_i + r_i - t_i)^2), LOWER is better),
+
+keep the top-k targets per source.  Candidate pairs are
+(sourceNodeFilter x targetNodeFilter) minus self-pairs minus already-
+existing relationships (TopKMapComputer.isCandidateLink: s != t &&
+!graph.exists(s, t)); NaN scores are dropped (TopKMapComputer.compute).
+
+Spark shape: the scoring is pure Catalyst (zip_with + aggregate over the
+double-cast embedding arrays -- JVM codegen, no Python).  The target side
+is broadcast: the reference itself is a brute-force sources x targets
+double loop, so the contract here is "targets bounded by the filter".
+At 100-TB scale with an unbounded target set, use operators/ann.ivf_topk
+(DistMult on L2-normalized embeddings is cosine ANN) as the approximate
+path; this operator is the exact-parity scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def kge_predict(
+    nodes: DataFrame,
+    edges: DataFrame | None,
+    rel_embedding: list[float],
+    score_function: str = "distmult",
+    top_k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    source_filter: str | None = None,
+    target_filter: str | None = None,
+) -> DataFrame:
+    """(source_id, target_id, score): top-k KGE-scored candidate links.
+
+    ``nodes``: (id, embedding array<float|double>).  ``edges``: existing
+    relationships (src, dst) excluded from candidates (None = no
+    exclusion).  ``source_filter`` / ``target_filter``: SQL predicates
+    over the pseudo-column ``node`` (the NodeFilterSpec analogue,
+    KGEPredictParameters.java:32-33).
+
+    Deterministic tie-break: (score best-first, target_id asc) --
+    best-first is DESC for distmult, ASC for transe
+    (TopKMapComputer.higherIsBetter).
+    """
+    import re as _re
+
+    if score_function not in ("distmult", "transe"):
+        raise ValueError(f"unknown score_function {score_function!r}")
+
+    r_lit = F.array(*[F.lit(float(v)) for v in rel_embedding])
+
+    src = nodes.select(F.col(id_col).alias("source_id"),
+                       F.col(vec_col).cast("array<double>").alias("_sv"))
+    tgt = nodes.select(F.col(id_col).alias("target_id"),
+                       F.col(vec_col).cast("array<double>").alias("_tv"))
+    if source_filter:
+        src = src.filter(F.expr(_re.sub(r"\bnode\b", "source_id", source_filter)))
+    if target_filter:
+        tgt = tgt.filter(F.expr(_re.sub(r"\bnode\b", "target_id", target_filter)))
+
+    # init(sourceNode): the scorer pre-combines source with r once per
+    # source (DoubleDistMultLinkScorer.init / DoubleEuclidean...init);
+    # here that is a per-row projection, computed once before the join
+    if score_function == "distmult":
+        src = src.withColumn(
+            "_sr", F.zip_with("_sv", r_lit, lambda x, ri: x * ri))
+    else:
+        src = src.withColumn(
+            "_sr", F.zip_with("_sv", r_lit, lambda x, ri: x + ri))
+
+    cand = src.join(F.broadcast(tgt),
+                    F.col("source_id") != F.col("target_id"))
+    if edges is not None:
+        exist = edges.select(F.col("src").alias("source_id"),
+                             F.col("dst").alias("target_id")).distinct()
+        cand = cand.join(F.broadcast(exist), ["source_id", "target_id"],
+                         "left_anti")
+
+    if score_function == "distmult":
+        score = F.aggregate(
+            F.zip_with("_sr", "_tv", lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        order = [F.col("score").desc(), F.col("target_id").asc()]
+    else:
+        score = F.sqrt(F.aggregate(
+            F.zip_with("_sr", "_tv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x))
+        order = [F.col("score").asc(), F.col("target_id").asc()]
+
+    scored = (cand.withColumn("score", score)
+              .filter(~F.isnan("score"))
+              .select("source_id", "target_id", "score"))
+    w = Window.partitionBy("source_id").orderBy(*order)
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k)
+            .drop("_rn"))

@@ -299,3 +299,32 @@ class LinkPredictionPipeline(_BasePipeline):
                 F.col("probability").desc(), SRC, DST
             ).limit(top_n)
         return scored
+
+
+class ModelCatalog:
+    """Named trained-model registry -- gds.model.list / .exists / .drop
+    (model-catalog-services ModelCatalog; proc ModelListProc etc.).
+
+    Stores whatever the pipelines' train steps return (spark.ml models);
+    metadata rides alongside for the `list` surface."""
+
+    def __init__(self) -> None:
+        self._models: dict[str, tuple[object, dict]] = {}
+
+    def store(self, name: str, model: object, **metadata) -> None:
+        self._models[name] = (model, dict(metadata))
+
+    def get(self, name: str) -> object:
+        return self._models[name][0]
+
+    def exists(self, name: str) -> bool:
+        return name in self._models
+
+    def drop(self, name: str) -> None:
+        self._models.pop(name, None)
+
+    def list(self) -> list[dict]:
+        return [
+            {"modelName": n, **meta}
+            for n, (_, meta) in sorted(self._models.items())
+        ]

@@ -1,0 +1,56 @@
+"""Graph/model catalog parity ops: streamNodeProperties, nodeProperties
+.drop, relationships delete, model catalog (gds.model.list/exists/drop)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from neo4j_graph_data_science_spark.catalog import from_edge_list
+from neo4j_graph_data_science_spark.pipelines import ModelCatalog
+
+
+@pytest.fixture()
+def graph(spark):
+    g = from_edge_list(spark, [(0, 1), (1, 2), (2, 0)])
+    g.edges = g.edges.withColumn(
+        "rel_type", F.when(F.col("src") == 0, "A").otherwise("B"))
+    g.nodes = g.nodes.withColumn("score", F.col("id") * 2.0).withColumn(
+        "rank", F.col("id") + 10.0)
+    return g
+
+
+def test_stream_node_properties(graph):
+    rows = graph.stream_node_properties("score", "rank").collect()
+    got = {(r.id, r.node_property): r.property_value for r in rows}
+    assert len(rows) == 6
+    assert got[(1, "score")] == 2.0 and got[(2, "rank")] == 12.0
+
+
+def test_drop_node_property(graph):
+    g2 = graph.drop_node_property("score")
+    assert "score" not in g2.nodes.columns
+    assert "score" in graph.nodes.columns  # original untouched
+    with pytest.raises(KeyError):
+        graph.drop_node_property("missing")
+    with pytest.raises(KeyError):
+        graph.drop_node_property("id")
+
+
+def test_delete_relationships(graph):
+    g2 = graph.delete_relationships("A")
+    assert g2.relationship_count() == 2
+    assert g2.rel_types() == ["B"]
+
+
+def test_model_catalog():
+    cat = ModelCatalog()
+    assert not cat.exists("m")
+    cat.store("m", {"weights": [1.0]}, modelType="test", trainMillis=5)
+    assert cat.exists("m") and cat.get("m") == {"weights": [1.0]}
+    assert cat.list() == [{"modelName": "m", "modelType": "test",
+                           "trainMillis": 5}]
+    cat.drop("m")
+    assert not cat.exists("m") and cat.list() == []
+    cat.drop("m")  # idempotent
