@@ -37,6 +37,13 @@ from ..catalog import DST, SRC, SparkGraph
 class TriangleCountConfig:
     max_degree: int | None = None
     degree_ordered: bool = True
+    # Below this edge count the CLOSING edge set rides as a broadcast hash
+    # table, so the 41M-row wedge stream (sf0.1 parts graph) is generated,
+    # probed, and reduced inside ONE stage -- never shuffled or
+    # materialized. Above it (the 100-TB regime) the closure is a regular
+    # shuffle join, exactly the previous plan. ~20M canonical edges is
+    # ~300 MB broadcast -- the conventional executor-memory ceiling.
+    broadcast_closure_max_edges: int = 20_000_000
 
 
 def _canonical_edges(graph: SparkGraph) -> DataFrame:
@@ -54,14 +61,20 @@ def triangle_count(
 ) -> DataFrame:
     """Per-node triangle counts: (id, triangles). Excluded hubs get -1."""
     cfg = config or TriangleCountConfig()
-    canon = _canonical_edges(graph)
+    # canon feeds degree, orientation, the wedge self-join AND the closure:
+    # persist so the (possibly expensive) edge derivation upstream runs
+    # once, not four times. count() doubles as the broadcast-decision stat.
+    canon = _canonical_edges(graph).persist()
+    n_canon = canon.count()
 
+    # persisted: referenced by both orientation joins (d1/d2) -- without
+    # the cache each reference re-runs the union+aggregate pipeline
     deg = (
         canon.select(F.col(SRC).alias("id"))
         .unionAll(canon.select(F.col(DST).alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    ).persist()
     nodes = graph.nodes.select("id").join(deg, "id", "left").fillna(0, ["deg"])
 
     excluded = None
@@ -88,17 +101,26 @@ def triangle_count(
 
     e1 = oriented.select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
     e2 = oriented.select(F.col(SRC).alias("a"), F.col(DST).alias("c"))
-    # out-wedges at a (b != c), closed by an oriented edge between b and c
-    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    # out-wedges at a (b != c), closed by an oriented edge between b and c.
+    # Small graphs: broadcast one side so wedge generation, the closure
+    # probe, and the corner partial-aggregate all pipeline inside ONE
+    # stage -- the 41M-row wedge stream (sf0.1 parts graph) is never
+    # shuffled or sorted. Big graphs: plain shuffle joins, as before.
+    small = n_canon <= cfg.broadcast_closure_max_edges
+    wedges = e1.join(F.broadcast(e2) if small else e2, "a").filter(
+        F.col("b") < F.col("c"))
     closing = oriented.select(
         F.least(SRC, DST).alias("b"), F.greatest(SRC, DST).alias("c")
     )
+    if small:
+        closing = F.broadcast(closing)
     tri = wedges.join(closing, ["b", "c"])  # one row per triangle
 
+    # ONE pass over the triangle rows: a 3-branch union would re-evaluate
+    # the whole wedge+closure join subtree per branch (Spark unions do not
+    # share subplans) -- explode emits the 3 corners from a single scan
     corners = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c").alias("id")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
