@@ -44,6 +44,12 @@ class NodeSimilarityConfig:
     # shuffle instead of post-filtering a full cross product.
     source_filter: str | None = None
     target_filter: str | None = None
+    # Below this adjacency-row count one side of the shared-neighbor pair
+    # join rides as a broadcast hash table: pair generation and the
+    # intersection partial-aggregate pipeline in ONE stage with no shuffle
+    # of the quadratic pair stream. Above it (100-TB regime): shuffle
+    # join on nb, as before.
+    broadcast_max_adjacency_rows: int = 20_000_000
 
 
 def node_similarity(
@@ -61,11 +67,16 @@ def node_similarity(
     """
     cfg = config or NodeSimilarityConfig()
     wcol = [F.col(weight_col).alias("w")] if weight_col else []
+    # persisted: referenced by deg, the fan-out guard, BOTH pair-join
+    # sides, and the cosine norms -- without the cache the (often
+    # expensive) upstream adjacency derivation re-runs per reference.
+    # count() doubles as the broadcast-decision stat.
     adj = adjacency.select(
         F.col(node_col).alias("n"), F.col(neighbor_col).alias("nb"), *wcol
-    ).distinct()
+    ).distinct().persist()
+    n_adj = adj.count()
 
-    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg")).persist()
     if cfg.degree_cutoff > 1:
         keep = deg.filter(F.col("deg") >= cfg.degree_cutoff).select("n")
         adj = adj.join(keep, "n", "left_semi")
@@ -91,6 +102,8 @@ def node_similarity(
     pair_aggs = [F.count(F.lit(1)).alias("_inter")]
     if weight_col:
         pair_aggs.append(F.sum(F.col("_w1") * F.col("_w2")).alias("_dot"))
+    if n_adj <= cfg.broadcast_max_adjacency_rows:
+        b = F.broadcast(b)
     inter = (
         a.join(b, "nb")
         .filter(F.col("node1") != F.col("node2"))
