@@ -193,12 +193,15 @@ def cosine_near_duplicates(
             ) >= 0).cast("int").alias("bit"),
         )
     )
+    # persisted: both sides of the bucket self-join reference band_sig;
+    # without the cache the plane dot products + signature aggregation
+    # run twice
     band_sig = (
         bits.groupBy("_id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("plane_idx", "bit"))).alias("_pb"))
         .select("_id", "band",
                 F.concat_ws("", F.col("_pb.bit").cast("array<string>")).alias("_sig"))
-    )
+    ).persist()
     cand = (
         band_sig.select(F.col("_id").alias("vec_a"), "band", "_sig")
         .join(band_sig.select(F.col("_id").alias("vec_b"), "band", "_sig"),

@@ -87,7 +87,13 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16,
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     """(doc_a, doc_b, est_jaccard): pairs sharing >=1 LSH band; estimate =
-    fraction of matching minhash positions."""
+    fraction of matching minhash positions.
+
+    ``signatures`` is persisted here: it feeds both banded join sides AND
+    both verify-side signature lookups (4 references), and upstream it is
+    the full shingle-explode + k-min aggregation -- the expensive scan of
+    the whole pipeline."""
+    signatures = signatures.persist()
     sig_len_df = signatures.select(F.size("sig").alias("_l")).limit(1).collect()
     rows_per_band = (sig_len_df[0]["_l"] if sig_len_df else bands) // bands
     sig_is_str = dict(signatures.dtypes).get("sig") == "array<string>"
