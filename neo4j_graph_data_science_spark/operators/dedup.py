@@ -153,7 +153,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_a, doc_b, jaccard): exact word-n-gram Jaccard >= threshold.
     Shingle self-join; at scale run AFTER lsh_candidate_pairs as verifier."""
-    grams = word_ngrams(docs, n, id_col, text_col)
+    # persisted: feeds the set sizes AND both self-join sides (3 refs of
+    # an explode+distinct pipeline)
+    grams = word_ngrams(docs, n, id_col, text_col).persist()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "ngram")
     b = grams.select(F.col("doc_id").alias("doc_b"), "ngram")
