@@ -62,6 +62,10 @@ class SparkGraph:
     id_map: Optional[DataFrame] = None    # (id long, ...original key cols)
     orientation: Orientation = Orientation.NATURAL
     name: str = "graph"
+    # graph-level scalar properties -- gds.graph.graphProperty surface
+    # (gds.alpha.graph.graphProperty.stream/.drop); set by algorithms'
+    # mutate-mode graph-scoped outputs (e.g. a global metric)
+    graph_props: dict = field(default_factory=dict)
 
     # ---- shape accessors -------------------------------------------------
     def node_count(self) -> int:
@@ -119,7 +123,25 @@ class SparkGraph:
         relationship type from the store."""
         e = self.edges.filter(F.col(REL) != F.lit(rel_type))
         return SparkGraph(self.nodes, e, self.id_map, self.orientation,
-                          self.name)
+                          self.name, dict(self.graph_props))
+
+    def set_graph_property(self, key: str, value) -> "SparkGraph":
+        """gds.alpha.graph.graphProperty mutate surface."""
+        props = dict(self.graph_props)
+        props[key] = value
+        return SparkGraph(self.nodes, self.edges, self.id_map,
+                          self.orientation, self.name, props)
+
+    def graph_property(self, key: str):
+        """gds.alpha.graph.graphProperty.stream analogue."""
+        return self.graph_props[key]
+
+    def drop_graph_property(self, key: str) -> "SparkGraph":
+        """gds.alpha.graph.graphProperty.drop."""
+        props = dict(self.graph_props)
+        props.pop(key, None)
+        return SparkGraph(self.nodes, self.edges, self.id_map,
+                          self.orientation, self.name, props)
 
     def oriented_edges(self, orientation: Orientation | str | None = None) -> DataFrame:
         """Edge DF under an orientation (Orientation.java:29-41).

@@ -54,3 +54,13 @@ def test_model_catalog():
     cat.drop("m")
     assert not cat.exists("m") and cat.list() == []
     cat.drop("m")  # idempotent
+
+
+def test_graph_properties(graph):
+    g2 = graph.set_graph_property("totalTriangles", 1)
+    assert g2.graph_property("totalTriangles") == 1
+    assert "totalTriangles" not in graph.graph_props  # original untouched
+    g3 = g2.drop_graph_property("totalTriangles")
+    assert "totalTriangles" not in g3.graph_props
+    # property survives other catalog transforms
+    assert g2.delete_relationships("A").graph_props == g2.graph_props
