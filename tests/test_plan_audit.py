@@ -83,3 +83,47 @@ def test_text_ops_stay_jvm_side(spark):
     plan = _plan(token_stats(docs), mode="simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Batched: true" in plan, plan
+
+
+def test_triangle_subcritical_plan_broadcasts_and_caches(spark):
+    """Late-round-3 plan shape: on a subcritical graph the wedge join AND
+    the closure join are broadcast hash joins (the quadratic wedge stream
+    pipelines inside one stage, never shuffled), the canonical edge set is
+    cached (one evaluation for its four references), and corner counting
+    is an explode over ONE triangle scan, not a 3-branch union that would
+    re-evaluate the join subtree per corner."""
+    from neo4j_graph_data_science_spark.operators.triangle import (
+        TriangleCountConfig, triangle_count,
+    )
+
+    g = from_edge_list(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    df = triangle_count(g, TriangleCountConfig())
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "explode(array" in plan, plan
+
+    # at-scale path (gate=0): the OPTIMIZED logical plan must carry no
+    # explicit broadcast hints -- join strategy is left to the planner/AQE,
+    # which at real scale resolves to shuffle joins
+    df_big = triangle_count(
+        g, TriangleCountConfig(broadcast_closure_max_edges=0))
+    logical = _plan(df_big, mode="extended")
+    optimized = logical.split("== Optimized Logical Plan ==")[1]
+    assert "ResolvedHint" not in optimized and "hints=[broadcast]" not in optimized, optimized
+
+
+def test_node_similarity_subcritical_plan_broadcasts_and_caches(spark):
+    """Same invariants for node similarity: the shared-neighbor pair join
+    broadcasts one side below the gate, and the adjacency feeding five
+    references is cached."""
+    from neo4j_graph_data_science_spark.operators.similarity import (
+        NodeSimilarityConfig, node_similarity,
+    )
+
+    adj = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 10), (1, 11), (2, 11)], "n long, nb long")
+    df = node_similarity(adj, "n", "nb", NodeSimilarityConfig(top_k=3))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
