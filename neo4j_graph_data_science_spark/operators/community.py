@@ -157,8 +157,12 @@ def modularity(graph: SparkGraph, communities: DataFrame,
                community_col: str = "community") -> DataFrame:
     """One row (modularity, community_count): Q over the undirected simple
     edge view given a (id, community) assignment."""
-    canon = _undirected_simple(graph)
-    lab = communities.select("id", F.col(community_col).alias("_c"))
+    # persisted: canon feeds the edge-count action, the endpoint joins and
+    # the degree union (4 references); lab feeds both endpoint joins and
+    # the degree-sum -- each reference would re-run the upstream community
+    # computation otherwise
+    canon = _undirected_simple(graph).persist()
+    lab = communities.select("id", F.col(community_col).alias("_c")).persist()
     m = canon.count()
     if m == 0:
         return communities.sparkSession.createDataFrame(
@@ -197,7 +201,10 @@ def conductance(graph: SparkGraph, communities: DataFrame,
     """(community, conductance): external / (external + internal) over each
     node's outgoing relationship weights (Conductance.java:214-225).
     Communities with zero outgoing weight are omitted (NaN in GDS)."""
-    lab = communities.select("id", F.col(community_col).alias("_c"))
+    # persisted: both endpoint joins reference the labels -- without the
+    # cache the UPSTREAM community computation (often a full WCC/LPA run)
+    # would execute once per reference
+    lab = communities.select("id", F.col(community_col).alias("_c")).persist()
     e = (
         graph.edges.select(SRC, DST, W)
         .join(lab.withColumnRenamed("id", SRC).withColumnRenamed("_c", "_cs"), SRC)

@@ -63,7 +63,12 @@ def similarity_summary(scores: DataFrame, col: str = "similarity") -> DataFrame:
 def apply_min_community_size(labels: DataFrame, min_size: int,
                              col: str = "community") -> DataFrame:
     """Drop rows of communities smaller than min_size
-    (CommunityCompanion.java:44-110: such nodes stream no result)."""
+    (CommunityCompanion.java:44-110: such nodes stream no result).
+
+    ``labels`` is persisted: it feeds both the size filter and the
+    semi-join, and is typically a full community-detection result whose
+    re-evaluation would re-run the algorithm."""
+    labels = labels.persist()
     keep = community_sizes(labels, col).filter(F.col("size") >= min_size) \
         .select(col)
     return labels.join(keep, col, "left_semi")

@@ -252,6 +252,9 @@ def consecutive_ids(df: DataFrame, col: str) -> DataFrame:
     dense re-numbering of community ids in ascending id order."""
     from pyspark.sql.window import Window
 
+    # persisted: feeds both the distinct-rank derivation and the re-number
+    # join; df is typically a full community result
+    df = df.persist()
     distinct = df.select(col).distinct()
     ranks = distinct.withColumn(
         "_new", (F.dense_rank().over(Window.orderBy(col)) - 1).cast("long")

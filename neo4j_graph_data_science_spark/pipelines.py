@@ -80,7 +80,12 @@ class _BasePipeline:
             dt = dict(out.dtypes)[name]
             if not dt.startswith("array"):
                 out = out.fillna(0.0, [name])
-        return out
+        # persisted: the feature frame is referenced several times
+        # downstream (train + both endpoint joins of every pair-feature
+        # build) and each node-property step above is a full algorithm
+        # run -- without the cache those algorithms re-execute per
+        # reference
+        return out.persist()
 
 
 class NodeClassificationPipeline(_BasePipeline):
