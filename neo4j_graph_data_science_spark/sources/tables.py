@@ -90,17 +90,35 @@ def event_edges(events: DataFrame, group_mod: int = 50,
     return out
 
 
+# Projection memo -- the GDS model is "project once into the catalog, run
+# many algorithms against it" (GraphStoreCatalog); deriving the event
+# graph per algorithm call would re-run the id-map + edge-rule windows
+# every time. Keyed by Spark application so a new session never sees
+# another JVM's cached plans. The DataFrames are persist()ed: first use
+# materializes, later queries hit the cache.
+_GRAPH_MEMO: dict = {}
+
+
+def _memo_key(spark: SparkSession, *parts) -> tuple:
+    return (spark.sparkContext.applicationId, *parts)
+
+
 def events_graph(spark: SparkSession, sf_dir: str,
                  rel_types: tuple[str, ...] = ("NEXT", "TYPE", "GROUP")) -> SparkGraph:
+    key = _memo_key(spark, "events", sf_dir, tuple(sorted(rel_types)))
+    if key in _GRAPH_MEMO:
+        return _GRAPH_MEMO[key]
     events = load(spark, sf_dir, "events")
-    v = event_vertices(events)
+    v = event_vertices(events).persist()
     edges = event_edges(events, include_loop="LOOP" in rel_types).filter(
         F.col(REL).isin(list(rel_types))
-    )
-    return SparkGraph(
+    ).persist()
+    g = SparkGraph(
         nodes=v.select("id"), edges=edges,
         id_map=v.select("id", "event_id"), name="events",
     )
+    _GRAPH_MEMO[key] = g
+    return g
 
 
 def part_co_occurrence_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
@@ -110,6 +128,9 @@ def part_co_occurrence_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
     100 TB the order key is high-cardinality and unskewed, so AQE handles
     it without salting.
     """
+    key = _memo_key(spark, "part_cooccur", sf_dir)
+    if key in _GRAPH_MEMO:
+        return _GRAPH_MEMO[key]
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.withColumnRenamed("l_partkey", SRC)
     b = li.withColumnRenamed("l_partkey", DST)
@@ -119,9 +140,11 @@ def part_co_occurrence_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
         .select(SRC, DST)
         .distinct()
         .select(SRC, DST, F.lit("COOCCUR").alias(REL), F.lit(1.0).alias(W))
-    )
+    ).persist()
     parts = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
-    return SparkGraph(nodes=parts, edges=pairs, name="part_cooccur")
+    g = SparkGraph(nodes=parts, edges=pairs, name="part_cooccur")
+    _GRAPH_MEMO[key] = g
+    return g
 
 
 def customer_part_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
