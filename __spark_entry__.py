@@ -2160,11 +2160,11 @@ def q_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("distance_from_centroid", 6).alias("dist"))
 
 
-def _lloyd_kmeans_sql(k: int = 4, iterations: int = 5) -> str:
-    """Oracle: unrolled Lloyd replay on (id, pos, x) relational state --
-    same pinned init (vectors of the k smallest ids, community = id rank),
-    same (d2, community) assignment tie-break, same
-    emptied-cluster-keeps-centroid rule."""
+def _lloyd_parts(k: int, iterations: int) -> list[str]:
+    """Shared CTE list for the unrolled Lloyd replay (pinned first-k-ids
+    init, (d2, community) tie-break, emptied-cluster-keeps-centroid); the
+    final centroid table is ``c{iterations}``. Used by the K-means oracle
+    and the semantic-dedup oracle."""
     parts = [f"""ev AS MATERIALIZED (
   SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
          unnest(embedding)::DOUBLE AS x
@@ -2194,6 +2194,15 @@ c{t + 1} AS MATERIALIZED (
   SELECT c.community, c.pos, coalesce(n.x, c.x) AS x
   FROM c{t} c LEFT JOIN n{t} n ON n.community = c.community AND n.pos = c.pos
 )""")
+    return parts
+
+
+def _lloyd_kmeans_sql(k: int = 4, iterations: int = 5) -> str:
+    """Oracle: unrolled Lloyd replay on (id, pos, x) relational state --
+    same pinned init (vectors of the k smallest ids, community = id rank),
+    same (d2, community) assignment tie-break, same
+    emptied-cluster-keeps-centroid rule."""
+    parts = _lloyd_parts(k, iterations)
     T = iterations
     return f"""WITH {', '.join(parts)},
 df AS (
@@ -3664,6 +3673,60 @@ SELECT src, dst,
 FROM r ORDER BY src, dst"""
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster -> within-cluster cosine) on
+    the embeddings table: pinned Lloyd k=4 x 3 rounds, threshold 0.4 (the
+    synthetic embeddings are well-spread; the production default is 0.95).
+    Fully deterministic, whole pipeline replayed in DuckDB."""
+    from neo4j_graph_data_science_spark.operators.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.4, k=4, iterations=3)
+    return out.select("id", "cluster", "duplicate_of", "keep")
+
+
+def _semantic_dedup_sql(k: int = 4, iterations: int = 3,
+                        threshold: float = 0.4, dim: int = 64) -> str:
+    """Oracle: Lloyd replay (shared _lloyd_parts) -> final assignment ->
+    same-cluster exact-cosine pairs -> duplicate_of = min lower id with
+    cosine >= threshold."""
+    T = iterations
+    parts = _lloyd_parts(k, iterations)
+    return f"""WITH {', '.join(parts)},
+df AS (
+  SELECT e.id, c.community, sum((e.x - c.x) * (e.x - c.x)) AS d2
+  FROM ev e JOIN c{T} c ON c.pos = e.pos GROUP BY e.id, c.community
+),
+fa AS MATERIALIZED (
+  SELECT id, community FROM (
+    SELECT id, community,
+           row_number() OVER (PARTITION BY id ORDER BY d2, community) AS rn
+    FROM df) WHERE rn = 1
+),
+vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         sum(va.v[i] * vb.v[i]) AS dp,
+         sum(va.v[i] * va.v[i]) AS na,
+         sum(vb.v[i] * vb.v[i]) AS nb
+  FROM fa a JOIN fa b ON a.community = b.community AND a.id < b.id
+  JOIN vv va ON va.id = a.id
+  JOIN vv vb ON vb.id = b.id,
+  unnest(generate_series(1, {dim})) t(i)
+  GROUP BY a.id, b.id
+),
+dup AS (
+  SELECT id_b AS id, min(id_a) AS duplicate_of
+  FROM dots WHERE dp / (sqrt(na) * sqrt(nb)) >= {threshold}
+  GROUP BY id_b
+)
+SELECT fa.id, fa.community AS cluster,
+       coalesce(d.duplicate_of, -1) AS duplicate_of,
+       d.duplicate_of IS NULL AS keep
+FROM fa LEFT JOIN dup d ON d.id = fa.id
+ORDER BY fa.id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _guarded(v) for k, v in _raw_queries().items()}
 
@@ -3681,6 +3744,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5_docs": q_simhash_md5,
         "vector_sims": q_vector_sims,
         "ann_topk": q_ann_topk,
+        "semantic_dedup_embeddings": q_semantic_dedup,
         "kge_distmult_embeddings": q_kge_distmult,
         "kge_transe_embeddings": q_kge_transe,
         "split_rels_md5_parts": q_split_rels,
@@ -4074,6 +4138,7 @@ FROM best WHERE rn = 1 ORDER BY doc_id""",
         "fingerprint_docs": """SELECT doc_id,
        md5(array_to_string(regexp_split_to_array(trim(text), '\\s+'), chr(1))) AS fingerprint
 FROM documents ORDER BY doc_id""",
+        "semantic_dedup_embeddings": _semantic_dedup_sql(),
         "kge_distmult_embeddings": _kge_sql("distmult"),
         "kge_transe_embeddings": _kge_sql("transe"),
         "split_rels_md5_parts": _split_rels_sql(),

@@ -214,3 +214,60 @@ def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id",
             .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
+                   k: int = 16, iterations: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster, duplicate_of, keep): SemDeDup-style semantic
+    deduplication over an embedding column (Abbas et al. 2023, SemDeDup:
+    cluster the corpus, then drop items whose cosine to a cluster-mate
+    exceeds the threshold -- the cluster step keeps the pair scoring from
+    ever materializing the global N^2 space).
+
+    Deterministic end-to-end: the cluster step is the pinned-init Lloyd
+    loop shared with K-means/IVF (operators/clustering.lloyd_loop --
+    first-k-ids init, (d2, community) tie-break), and within each cluster
+    an item is a duplicate iff a LOWER-id cluster-mate scores
+    cosine >= threshold; ``duplicate_of`` = the smallest such id (-1 for
+    kept items). Exact cosine on the raw vectors (SemDeDup normalizes
+    first; with the cosine metric the two agree).
+
+    Scale shape: pair scoring is confined to same-cluster pairs --
+    sum of per-cluster quadratic terms, the whole point of the cluster
+    prefilter; the per-cluster join is a shuffle on the cluster id, and a
+    skewed giant cluster is the k-too-small signal (raise k), exactly as
+    in the reference SemDeDup recipe.
+    """
+    from ..functions.vector import cosine
+    from .clustering import lloyd_loop
+
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).localCheckpoint(eager=True)
+    assign, _cent = lloyd_loop(v, k, iterations)
+    withv = assign.select("id", "community").join(v, "id").persist()
+
+    a = withv.select(F.col("id").alias("id_a"), "community",
+                     F.col("vec").alias("_va"))
+    b = withv.select(F.col("id").alias("id_b"), "community",
+                     F.col("vec").alias("_vb"))
+    dup = (
+        a.join(b, "community")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("id_b").agg(F.min("id_a").alias("duplicate_of"))
+        .withColumnRenamed("id_b", "id")
+    )
+    return (
+        withv.select("id", F.col("community").alias("cluster"))
+        .join(dup, "id", "left")
+        .select(
+            "id", "cluster",
+            F.coalesce("duplicate_of", F.lit(-1)).cast("long")
+            .alias("duplicate_of"),
+            F.col("duplicate_of").isNull().alias("keep"),
+        )
+    )

@@ -1,0 +1,52 @@
+"""Bucketed edge tables: the self-join and the messenger-style join on the
+bucket key must run WITHOUT an Exchange on the bucketed side."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import tempfile
+
+from pyspark.sql import functions as F
+
+from neo4j_graph_data_science_spark.sources.bucketing import (
+    write_bucketed_edges,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_self_join_has_no_exchange(spark):
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11) for i in range(100)], "src long, dst long")
+    with tempfile.TemporaryDirectory() as d:
+        t = write_bucketed_edges(edges, "e_bkt", buckets=4, path=d)
+        a = t.alias("a")
+        b = t.alias("b")
+        j = a.join(b, F.col("a.dst").isNotNull() & (F.col("a.src") == F.col("b.src")))
+        # both sides read the same bucketed layout: a co-located SMJ with
+        # zero shuffles
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() > 0
+        # aggregation on the bucket key: no exchange before the final agg
+        agg_plan = _plan(t.groupBy("src").count())
+        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+        spark.sql("DROP TABLE IF EXISTS e_bkt")
+
+
+def test_bucketed_by_dst_inverse_layout(spark):
+    edges = spark.createDataFrame(
+        [(i % 5, i % 3) for i in range(60)], "src long, dst long")
+    with tempfile.TemporaryDirectory() as d:
+        t = write_bucketed_edges(edges, "e_bkt_rev", buckets=4, path=d,
+                                 by_dst=True)
+        agg_plan = _plan(t.groupBy("dst").count())
+        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+        assert t.count() == 60
+        spark.sql("DROP TABLE IF EXISTS e_bkt_rev")

@@ -149,3 +149,45 @@ def test_split_md5_mode_matches_duckdb(spark):
         SELECT src, dst FROM r WHERE rn <= cut
     """).fetchall())
     assert sel == want
+
+
+def test_semantic_dedup_marks_near_duplicates(spark):
+    """Planted near-dup pair lands in one cluster and the higher id is
+    dropped with duplicate_of = the lower id; spread vectors survive."""
+    from neo4j_graph_data_science_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r for r in semantic_dedup(
+        vecs, threshold=0.95, k=3, iterations=2).collect()}
+    assert len(out) == 4
+    assert not out[1].keep and out[1].duplicate_of == 0
+    assert out[0].keep and out[2].keep and out[3].keep
+    assert out[0].duplicate_of == -1
+
+
+def test_semantic_dedup_pairs_confined_to_clusters(spark):
+    """Items similar above threshold but in DIFFERENT clusters are kept --
+    the documented approximation that makes the pair space sub-quadratic."""
+    from neo4j_graph_data_science_spark.operators.dedup import semantic_dedup
+
+    # ids 0/1 seed two clusters (pinned first-k init); 2 is closest to 1's
+    # centroid but nearly parallel to 0 -- if clustering separates them no
+    # dup mark can cross the boundary
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.6, 0.8]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r for r in semantic_dedup(
+        vecs, threshold=0.5, k=2, iterations=1).collect()}
+    # 2 assigns to cluster of 1 (d2 0.4^2+0.2^2=0.2 vs 0.16+0.64=0.8);
+    # cosine(1,2)=0.8 >= 0.5 -> dup within cluster
+    assert not out[2].keep and out[2].duplicate_of == 1
+    assert out[0].keep and out[1].keep
