@@ -41,6 +41,7 @@ def kge_predict(
     vec_col: str = "embedding",
     source_filter: str | None = None,
     target_filter: str | None = None,
+    broadcast_max_targets: int = 5_000_000,
 ) -> DataFrame:
     """(source_id, target_id, score): top-k KGE-scored candidate links.
 
@@ -80,7 +81,14 @@ def kge_predict(
         src = src.withColumn(
             "_sr", F.zip_with("_sv", r_lit, lambda x, ri: x + ri))
 
-    cand = src.join(F.broadcast(tgt),
+    # size-gate the broadcast: below the gate the sources-x-targets scoring
+    # pipelines in one stage; above it (unfiltered 100-TB target sets) the
+    # cross join falls back to the planner's partitioned strategy -- and at
+    # that scale the right tool is the ANN path (module docstring), not
+    # exact KGE top-k
+    n_tgt = tgt.count()
+    cand = src.join(F.broadcast(tgt) if n_tgt <= broadcast_max_targets
+                    else tgt,
                     F.col("source_id") != F.col("target_id"))
     if edges is not None:
         exist = edges.select(F.col("src").alias("source_id"),

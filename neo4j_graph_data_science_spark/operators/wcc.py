@@ -249,14 +249,23 @@ def wcc_two_phase(graph: SparkGraph, config: WccConfig | None = None,
 
 def consecutive_ids(df: DataFrame, col: str) -> DataFrame:
     """GDS consecutiveIds post-processing (CommunityCompanion.java:44-110):
-    dense re-numbering of community ids in ascending id order."""
-    from pyspark.sql.window import Window
+    dense re-numbering of community ids in ascending id order.
 
-    # persisted: feeds both the distinct-rank derivation and the re-number
-    # join; df is typically a full community result
+    The rank over the distinct community ids is computed with the
+    partition-parallel bucketed ranking (catalog.bucketed_dense_ids), not
+    a global window: an all-singletons community column has V distinct
+    values, so a ``dense_rank() over (order by col)`` would be a
+    single-partition sort of the full vertex set at 100x. The bucket is
+    value-range based (max/4096), coarse-monotonic as required."""
+    from ..catalog import bucketed_dense_ids
+
+    # persisted: feeds the max-probe, the distinct-rank derivation and the
+    # re-number join; df is typically a full community result
     df = df.persist()
     distinct = df.select(col).distinct()
-    ranks = distinct.withColumn(
-        "_new", (F.dense_rank().over(Window.orderBy(col)) - 1).cast("long")
-    )
+    hi = distinct.agg(F.max(col)).collect()[0][0]
+    width = max(1, (int(hi) if hi is not None else 0) // 4096 + 1)
+    ranks = bucketed_dense_ids(
+        distinct, [col], F.floor(F.col(col) / F.lit(width))
+    ).select(col, F.col("id").alias("_new"))
     return df.join(ranks, col).select("id", F.col("_new").alias(col))
