@@ -109,12 +109,30 @@ def triangle_count(
     small = n_canon <= cfg.broadcast_closure_max_edges
     wedges = e1.join(F.broadcast(e2) if small else e2, "a").filter(
         F.col("b") < F.col("c"))
-    closing = oriented.select(
-        F.least(SRC, DST).alias("b"), F.greatest(SRC, DST).alias("c")
-    )
-    if small:
-        closing = F.broadcast(closing)
-    tri = wedges.join(closing, ["b", "c"])  # one row per triangle
+    # Closure probe key: when every id fits in 32 bits, pack (b, c) into
+    # one long -- a primitive-key broadcast hash probe measures ~3x faster
+    # than the two-column (struct-key) join at 41M wedges. Ids above 2^31
+    # (possible at full scale) keep the two-column key for correctness.
+    bounds = canon.agg(
+        F.max(F.greatest(SRC, DST)).alias("m"),
+        F.min(F.least(SRC, DST)).alias("lo")).collect()[0]
+    packable = (bounds["m"] is not None and bounds["m"] < (1 << 31)
+                and bounds["lo"] >= 0)
+    if packable:
+        closing = oriented.select(
+            (F.shiftleft(F.least(SRC, DST), 32) + F.greatest(SRC, DST))
+            .alias("_k"))
+        wedges = wedges.withColumn(
+            "_k", F.shiftleft(F.col("b"), 32) + F.col("c"))
+        tri = wedges.join(
+            F.broadcast(closing) if small else closing, "_k")
+    else:
+        closing = oriented.select(
+            F.least(SRC, DST).alias("b"), F.greatest(SRC, DST).alias("c")
+        )
+        if small:
+            closing = F.broadcast(closing)
+        tri = wedges.join(closing, ["b", "c"])  # one row per triangle
 
     # ONE pass over the triangle rows: a 3-branch union would re-evaluate
     # the whole wedge+closure join subtree per branch (Spark unions do not
