@@ -100,6 +100,11 @@ class SparkGraph:
         (proc/catalog GraphStreamNodePropertiesProc). Values are cast to
         double (GDS streams one typed column; numeric properties are the
         supported surface here)."""
+        if not keys:
+            raise ValueError("stream_node_properties needs >= 1 key")
+        missing = [k for k in keys if k not in self.nodes.columns]
+        if missing:
+            raise KeyError(f"node properties not in graph: {missing}")
         parts = [
             self.nodes.select(
                 "id", F.lit(k).alias("node_property"),
@@ -116,7 +121,8 @@ class SparkGraph:
         if key not in self.nodes.columns or key == "id":
             raise KeyError(f"node property {key!r} not in graph")
         return SparkGraph(self.nodes.drop(key), self.edges, self.id_map,
-                          self.orientation, self.name)
+                          self.orientation, self.name,
+                          dict(self.graph_props))
 
     def delete_relationships(self, rel_type: str) -> "SparkGraph":
         """gds.graph.relationships.drop / deleteRelationships: remove one
@@ -320,3 +326,14 @@ class GraphCatalog:
 
     def list(self) -> list[str]:
         return sorted(self._graphs)
+
+
+def bind_node_filter(df: DataFrame, predicate: str | None, col: str) -> DataFrame:
+    """Apply a SQL predicate written over the pseudo-column ``node`` by
+    rebinding it to ``col`` (the NodeFilterSpec analogue shared by
+    filtered KNN / node similarity / KGE / splitRelationships)."""
+    if not predicate:
+        return df
+    import re
+
+    return df.filter(F.expr(re.sub(r"\bnode\b", col, predicate)))

@@ -46,7 +46,7 @@ def brute_force_topk(
     FilteredKnn.java): sources are restricted before the scan, targets
     before the per-source top-k, so each surviving source still gets its k
     nearest MATCHING targets."""
-    import re as _re
+    from ..catalog import bind_node_filter
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -54,10 +54,8 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    if source_filter:
-        q = q.filter(F.expr(_re.sub(r"\bnode\b", "query_id", source_filter)))
-    if target_filter:
-        c = c.filter(F.expr(_re.sub(r"\bnode\b", "neighbor_id", target_filter)))
+    q = bind_node_filter(q, source_filter, "query_id")
+    c = bind_node_filter(c, target_filter, "neighbor_id")
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -467,17 +465,15 @@ def filtered_knn(
     are independent, so source filtering is exact). Recall degrades only
     when fewer than k of a source's top (k*oversample) neighbors match the
     target filter."""
-    import re as _re
+    from ..catalog import bind_node_filter
 
     raw = nn_descent_topk(corpus, k=k * max(oversample, 1),
                           iterations=iterations, id_col=id_col,
                           vec_col=vec_col, seed=seed, metric=metric,
                           hash_mode=hash_mode)
     score_col = "cosine" if metric == "cosine" else "distance"
-    if source_filter:
-        raw = raw.filter(F.expr(_re.sub(r"\bnode\b", "query_id", source_filter)))
-    if target_filter:
-        raw = raw.filter(F.expr(_re.sub(r"\bnode\b", "neighbor_id", target_filter)))
+    raw = bind_node_filter(raw, source_filter, "query_id")
+    raw = bind_node_filter(raw, target_filter, "neighbor_id")
     order = (F.col(score_col).desc() if metric == "cosine"
              else F.col(score_col).asc())
     win = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id").asc())

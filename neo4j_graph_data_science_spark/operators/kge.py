@@ -55,7 +55,7 @@ def kge_predict(
     best-first is DESC for distmult, ASC for transe
     (TopKMapComputer.higherIsBetter).
     """
-    import re as _re
+    from ..catalog import bind_node_filter
 
     if score_function not in ("distmult", "transe"):
         raise ValueError(f"unknown score_function {score_function!r}")
@@ -66,10 +66,8 @@ def kge_predict(
                        F.col(vec_col).cast("array<double>").alias("_sv"))
     tgt = nodes.select(F.col(id_col).alias("target_id"),
                        F.col(vec_col).cast("array<double>").alias("_tv"))
-    if source_filter:
-        src = src.filter(F.expr(_re.sub(r"\bnode\b", "source_id", source_filter)))
-    if target_filter:
-        tgt = tgt.filter(F.expr(_re.sub(r"\bnode\b", "target_id", target_filter)))
+    src = bind_node_filter(src, source_filter, "source_id")
+    tgt = bind_node_filter(tgt, target_filter, "target_id")
 
     # init(sourceNode): the scorer pre-combines source with r once per
     # source (DoubleDistMultLinkScorer.init / DoubleEuclidean...init);
@@ -93,8 +91,12 @@ def kge_predict(
     if edges is not None:
         exist = edges.select(F.col("src").alias("source_id"),
                              F.col("dst").alias("target_id")).distinct()
-        cand = cand.join(F.broadcast(exist), ["source_id", "target_id"],
-                         "left_anti")
+        # the exclusion set is usually far larger than the target set --
+        # gate ITS broadcast separately; above the gate the anti-join
+        # shuffles, which is the only correct shape at 10^9+ edges
+        if exist.count() <= broadcast_max_targets:
+            exist = F.broadcast(exist)
+        cand = cand.join(exist, ["source_id", "target_id"], "left_anti")
 
     if score_function == "distmult":
         score = F.aggregate(

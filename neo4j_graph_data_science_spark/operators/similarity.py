@@ -94,11 +94,9 @@ def node_similarity(
                             *([F.col("w").alias("_w2")] if weight_col else []))
     # predicates are written over the pseudo-column `node`, e.g.
     # "node % 2 = 0" or "node IN (1,2,3)" -- rebound per side
-    import re as _re
-    if cfg.source_filter:
-        a = a.filter(F.expr(_re.sub(r"\bnode\b", "node1", cfg.source_filter)))
-    if cfg.target_filter:
-        b = b.filter(F.expr(_re.sub(r"\bnode\b", "node2", cfg.target_filter)))
+    from ..catalog import bind_node_filter
+    a = bind_node_filter(a, cfg.source_filter, "node1")
+    b = bind_node_filter(b, cfg.target_filter, "node2")
     pair_aggs = [F.count(F.lit(1)).alias("_inter")]
     if weight_col:
         pair_aggs.append(F.sum(F.col("_w1") * F.col("_w2")).alias("_dot"))

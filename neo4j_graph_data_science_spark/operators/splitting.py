@@ -66,16 +66,15 @@ def split_relationships(
     ``source_filter`` / ``target_filter``: SQL predicates over the
     pseudo-column ``node`` applied to src/dst respectively (the
     sourceNodeLabels/targetNodeLabels analogue)."""
-    import re as _re
+    from ..catalog import bind_node_filter
 
     if not 0.0 <= holdout_fraction <= 1.0:
         raise ValueError("holdout_fraction must be in [0, 1]")
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
-    e = edges
-    if source_filter:
-        e = e.filter(F.expr(_re.sub(r"\bnode\b", SRC, source_filter)))
-    if target_filter:
-        e = e.filter(F.expr(_re.sub(r"\bnode\b", DST, target_filter)))
+    e = bind_node_filter(edges, source_filter, SRC)
+    e = bind_node_filter(e, target_filter, DST)
 
     has_w = W in e.columns
     keep = [SRC, DST] + ([W] if has_w else [])

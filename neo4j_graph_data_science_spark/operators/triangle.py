@@ -63,9 +63,14 @@ def triangle_count(
     cfg = config or TriangleCountConfig()
     # canon feeds degree, orientation, the wedge self-join AND the closure:
     # persist so the (possibly expensive) edge derivation upstream runs
-    # once, not four times. count() doubles as the broadcast-decision stat.
+    # once, not four times. ONE aggregate materializes the cache and
+    # yields the broadcast-decision count plus the key-packing id bounds.
     canon = _canonical_edges(graph).persist()
-    n_canon = canon.count()
+    stats = canon.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.greatest(SRC, DST)).alias("m"),
+        F.min(F.least(SRC, DST)).alias("lo")).collect()[0]
+    n_canon = stats["n"]
 
     # persisted: referenced by both orientation joins (d1/d2) -- without
     # the cache each reference re-runs the union+aggregate pipeline
@@ -113,11 +118,8 @@ def triangle_count(
     # one long -- a primitive-key broadcast hash probe measures ~3x faster
     # than the two-column (struct-key) join at 41M wedges. Ids above 2^31
     # (possible at full scale) keep the two-column key for correctness.
-    bounds = canon.agg(
-        F.max(F.greatest(SRC, DST)).alias("m"),
-        F.min(F.least(SRC, DST)).alias("lo")).collect()[0]
-    packable = (bounds["m"] is not None and bounds["m"] < (1 << 31)
-                and bounds["lo"] >= 0)
+    packable = (stats["m"] is not None and stats["m"] < (1 << 31)
+                and stats["lo"] >= 0)
     if packable:
         closing = oriented.select(
             (F.shiftleft(F.least(SRC, DST), 32) + F.greatest(SRC, DST))

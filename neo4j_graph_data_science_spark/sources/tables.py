@@ -95,8 +95,17 @@ def event_edges(events: DataFrame, group_mod: int = 50,
 # graph per algorithm call would re-run the id-map + edge-rule windows
 # every time. Keyed by Spark application so a new session never sees
 # another JVM's cached plans. The DataFrames are persist()ed: first use
-# materializes, later queries hit the cache.
+# materializes, later queries hit the cache. Callers get a SHALLOW COPY
+# of the memoized SparkGraph (DataFrames are immutable; the dataclass is
+# not), so the documented mutate-mode pattern `g.nodes = ...` can never
+# poison the shared entry.
 _GRAPH_MEMO: dict = {}
+
+
+def _memo_copy(g: SparkGraph) -> SparkGraph:
+    from dataclasses import replace
+
+    return replace(g, graph_props=dict(g.graph_props))
 
 
 def _memo_key(spark: SparkSession, *parts) -> tuple:
@@ -107,7 +116,7 @@ def events_graph(spark: SparkSession, sf_dir: str,
                  rel_types: tuple[str, ...] = ("NEXT", "TYPE", "GROUP")) -> SparkGraph:
     key = _memo_key(spark, "events", sf_dir, tuple(sorted(rel_types)))
     if key in _GRAPH_MEMO:
-        return _GRAPH_MEMO[key]
+        return _memo_copy(_GRAPH_MEMO[key])
     events = load(spark, sf_dir, "events")
     v = event_vertices(events).persist()
     edges = event_edges(events, include_loop="LOOP" in rel_types).filter(
@@ -118,7 +127,7 @@ def events_graph(spark: SparkSession, sf_dir: str,
         id_map=v.select("id", "event_id"), name="events",
     )
     _GRAPH_MEMO[key] = g
-    return g
+    return _memo_copy(g)
 
 
 def part_co_occurrence_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
@@ -130,7 +139,7 @@ def part_co_occurrence_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
     """
     key = _memo_key(spark, "part_cooccur", sf_dir)
     if key in _GRAPH_MEMO:
-        return _GRAPH_MEMO[key]
+        return _memo_copy(_GRAPH_MEMO[key])
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.withColumnRenamed("l_partkey", SRC)
     b = li.withColumnRenamed("l_partkey", DST)
@@ -144,7 +153,7 @@ def part_co_occurrence_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
     parts = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
     g = SparkGraph(nodes=parts, edges=pairs, name="part_cooccur")
     _GRAPH_MEMO[key] = g
-    return g
+    return _memo_copy(g)
 
 
 def customer_part_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:

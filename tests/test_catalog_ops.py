@@ -64,3 +64,30 @@ def test_graph_properties(graph):
     assert "totalTriangles" not in g3.graph_props
     # property survives other catalog transforms
     assert g2.delete_relationships("A").graph_props == g2.graph_props
+
+
+def test_stream_node_properties_guards(graph):
+    with pytest.raises(ValueError):
+        graph.stream_node_properties()
+    with pytest.raises(KeyError):
+        graph.stream_node_properties("score", "missing")
+
+
+def test_graph_props_survive_drop_node_property(graph):
+    g2 = graph.set_graph_property("m", 7).drop_node_property("score")
+    assert g2.graph_property("m") == 7
+
+
+def test_graph_memo_returns_isolated_copies(spark):
+    """Mutating a memoized graph's fields must not poison later calls --
+    the documented mutate-mode pattern assigns g.nodes in place."""
+    from neo4j_graph_data_science_spark.sources.tables import events_graph
+
+    sf = "/root/testdata/sf0.001"
+    g1 = events_graph(spark, sf)
+    n_nodes = g1.nodes.count()
+    g1.nodes = g1.nodes.limit(1)          # caller-side mutate
+    g1.graph_props["poison"] = True
+    g2 = events_graph(spark, sf)
+    assert g2.nodes.count() == n_nodes
+    assert "poison" not in g2.graph_props

@@ -42,8 +42,10 @@ def test_kge_distmult_hand_computed(spark):
     assert math.isclose(got[(0, 2)], 2.0)   # 2 + 0
     assert math.isclose(got[(0, 3)], 2.0)   # 1 + 1
     # top-2 of source 1: score(1,t) = 2*t1 + 0.5*t2
-    s1 = sorted((t, s) for (s0, t), s in got.items() if s0 == 1)
-    assert [t for t, _ in s1] == [2, 3] or len(s1) == 2
+    # -> t=3: 2.5, t=2: 2.0, t=0: 1.0; top-2 targets are exactly {2, 3}
+    s1 = sorted(t for (s0, t) in got if s0 == 1)
+    assert s1 == [2, 3]
+    assert math.isclose(got[(1, 3)], 2.5) and math.isclose(got[(1, 2)], 2.0)
 
 
 def test_kge_transe_lower_is_better(spark):
