@@ -331,9 +331,21 @@ class GraphCatalog:
 def bind_node_filter(df: DataFrame, predicate: str | None, col: str) -> DataFrame:
     """Apply a SQL predicate written over the pseudo-column ``node`` by
     rebinding it to ``col`` (the NodeFilterSpec analogue shared by
-    filtered KNN / node similarity / KGE / splitRelationships)."""
+    filtered KNN / node similarity / KGE / splitRelationships).
+
+    The binding is structural, not textual: ``col`` is projected under the
+    name ``node``, the predicate is evaluated by Catalyst, and the helper
+    column is dropped -- so occurrences of the word "node" inside string
+    literals (e.g. ``label != 'node'``) are left untouched.
+    """
     if not predicate:
         return df
-    import re
-
-    return df.filter(F.expr(re.sub(r"\bnode\b", col, predicate)))
+    if "node" in df.columns:
+        # the pseudo-column would shadow a real column; the operators that
+        # route through this helper never carry one, so treat it as misuse
+        raise ValueError(
+            "bind_node_filter: DataFrame already has a 'node' column; "
+            "rename it before applying a node filter")
+    return (df.withColumn("node", F.col(col))
+            .filter(F.expr(predicate))
+            .drop("node"))

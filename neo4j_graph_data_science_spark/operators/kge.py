@@ -41,7 +41,7 @@ def kge_predict(
     vec_col: str = "embedding",
     source_filter: str | None = None,
     target_filter: str | None = None,
-    broadcast_max_targets: int = 5_000_000,
+    broadcast_max_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """(source_id, target_id, score): top-k KGE-scored candidate links.
 
@@ -62,6 +62,16 @@ def kge_predict(
 
     r_lit = F.array(*[F.lit(float(v)) for v in rel_embedding])
 
+    # zip_with pads the shorter array with nulls, so a rel_embedding whose
+    # length differs from the node embedding dim would yield NULL scores
+    # silently; validate up front with a one-row probe.
+    probe = (nodes.select(F.size(F.col(vec_col)).alias("_d"))
+             .filter(F.col("_d") >= 0).limit(1).collect())
+    if probe and probe[0]["_d"] != len(rel_embedding):
+        raise ValueError(
+            f"rel_embedding length {len(rel_embedding)} != node embedding "
+            f"dim {probe[0]['_d']} (column {vec_col!r})")
+
     src = nodes.select(F.col(id_col).alias("source_id"),
                        F.col(vec_col).cast("array<double>").alias("_sv"))
     tgt = nodes.select(F.col(id_col).alias("target_id"),
@@ -79,22 +89,31 @@ def kge_predict(
         src = src.withColumn(
             "_sr", F.zip_with("_sv", r_lit, lambda x, ri: x + ri))
 
-    # size-gate the broadcast: below the gate the sources-x-targets scoring
-    # pipelines in one stage; above it (unfiltered 100-TB target sets) the
-    # cross join falls back to the planner's partitioned strategy -- and at
-    # that scale the right tool is the ANN path (module docstring), not
-    # exact KGE top-k
+    # size-gate the broadcast IN BYTES, not rows: each target row carries
+    # the embedding array (dim * 8B doubles + ~16B array header + ~16B row
+    # overhead), so 5M rows at dim 64 would be ~2.5+ GB of payload before
+    # hash-relation overhead -- far past any sane broadcast limit.  Budget
+    # rows x estimated row width against broadcast_max_bytes (default
+    # 512 MiB).  Below the gate the sources-x-targets scoring pipelines in
+    # one stage; above it (unfiltered 100-TB target sets) the cross join
+    # falls back to the planner's partitioned strategy -- and at that
+    # scale the right tool is the ANN path (module docstring), not exact
+    # KGE top-k.
+    dim = len(rel_embedding)
+    row_bytes = dim * 8 + 32
     n_tgt = tgt.count()
-    cand = src.join(F.broadcast(tgt) if n_tgt <= broadcast_max_targets
-                    else tgt,
-                    F.col("source_id") != F.col("target_id"))
+    cand = src.join(
+        F.broadcast(tgt) if n_tgt * row_bytes <= broadcast_max_bytes
+        else tgt,
+        F.col("source_id") != F.col("target_id"))
     if edges is not None:
         exist = edges.select(F.col("src").alias("source_id"),
                              F.col("dst").alias("target_id")).distinct()
         # the exclusion set is usually far larger than the target set --
-        # gate ITS broadcast separately; above the gate the anti-join
-        # shuffles, which is the only correct shape at 10^9+ edges
-        if exist.count() <= broadcast_max_targets:
+        # gate ITS broadcast separately (two longs per row, ~32B); above
+        # the gate the anti-join shuffles, which is the only correct
+        # shape at 10^9+ edges
+        if exist.count() * 32 <= broadcast_max_bytes:
             exist = F.broadcast(exist)
         cand = cand.join(exist, ["source_id", "target_id"], "left_anti")
 
@@ -109,8 +128,12 @@ def kge_predict(
             F.lit(0.0), lambda acc, x: acc + x))
         order = [F.col("score").asc(), F.col("target_id").asc()]
 
+    # drop NULL scores as well as NaN: a null embedding yields NULL, and
+    # under transe's ascending order Spark sorts nulls FIRST by default,
+    # so an unfiltered NULL would occupy top-k slots the reference's
+    # TopKMapComputer would never admit
     scored = (cand.withColumn("score", score)
-              .filter(~F.isnan("score"))
+              .filter(F.col("score").isNotNull() & ~F.isnan("score"))
               .select("source_id", "target_id", "score"))
     w = Window.partitionBy("source_id").orderBy(*order)
     return (scored.withColumn("_rn", F.row_number().over(w))

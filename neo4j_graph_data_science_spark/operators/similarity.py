@@ -44,12 +44,14 @@ class NodeSimilarityConfig:
     # shuffle instead of post-filtering a full cross product.
     source_filter: str | None = None
     target_filter: str | None = None
-    # Below this adjacency-row count one side of the shared-neighbor pair
-    # join rides as a broadcast hash table: pair generation and the
+    # Below this adjacency byte budget one side of the shared-neighbor
+    # pair join rides as a broadcast hash table: pair generation and the
     # intersection partial-aggregate pipeline in ONE stage with no shuffle
     # of the quadratic pair stream. Above it (100-TB regime): shuffle
-    # join on nb, as before.
-    broadcast_max_adjacency_rows: int = 20_000_000
+    # join on nb, as before. Budgeted in BYTES (rows x estimated width:
+    # two longs + optional weight + row overhead), not rows, so the gate
+    # stays honest when a weight column widens the rows.
+    broadcast_max_adjacency_bytes: int = 512 * 1024 * 1024
 
 
 def node_similarity(
@@ -100,7 +102,8 @@ def node_similarity(
     pair_aggs = [F.count(F.lit(1)).alias("_inter")]
     if weight_col:
         pair_aggs.append(F.sum(F.col("_w1") * F.col("_w2")).alias("_dot"))
-    if n_adj <= cfg.broadcast_max_adjacency_rows:
+    adj_row_bytes = 16 + (8 if weight_col else 0) + 16
+    if n_adj * adj_row_bytes <= cfg.broadcast_max_adjacency_bytes:
         b = F.broadcast(b)
     inter = (
         a.join(b, "nb")

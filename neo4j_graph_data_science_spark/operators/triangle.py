@@ -121,11 +121,15 @@ def triangle_count(
     packable = (stats["m"] is not None and stats["m"] < (1 << 31)
                 and stats["lo"] >= 0)
     if packable:
+        # cast to long BEFORE the shift: on IntegerType ids Spark follows
+        # Java int-shift semantics (shift amount mod 32 == 0), which would
+        # degenerate the key to b + c and admit spurious closures.
         closing = oriented.select(
-            (F.shiftleft(F.least(SRC, DST), 32) + F.greatest(SRC, DST))
-            .alias("_k"))
+            (F.shiftleft(F.least(SRC, DST).cast("long"), 32)
+             + F.greatest(SRC, DST).cast("long")).alias("_k"))
         wedges = wedges.withColumn(
-            "_k", F.shiftleft(F.col("b"), 32) + F.col("c"))
+            "_k",
+            F.shiftleft(F.col("b").cast("long"), 32) + F.col("c").cast("long"))
         tri = wedges.join(
             F.broadcast(closing) if small else closing, "_k")
     else:

@@ -91,3 +91,24 @@ def test_graph_memo_returns_isolated_copies(spark):
     g2 = events_graph(spark, sf)
     assert g2.nodes.count() == n_nodes
     assert "poison" not in g2.graph_props
+
+
+def test_bind_node_filter_ignores_string_literals(spark):
+    """The pseudo-column binding is structural: the word 'node' inside a
+    string literal must NOT be rewritten (ADVICE round 3)."""
+    from neo4j_graph_data_science_spark.catalog import bind_node_filter
+
+    df = spark.createDataFrame(
+        [(1, "node"), (2, "edge")], "source_id long, label string")
+    out = bind_node_filter(df, "label != 'node' AND node > 0", "source_id")
+    assert [r.source_id for r in out.collect()] == [2]
+    assert out.columns == ["source_id", "label"]
+
+
+def test_bind_node_filter_rejects_node_column(spark):
+    import pytest
+    from neo4j_graph_data_science_spark.catalog import bind_node_filter
+
+    df = spark.createDataFrame([(1, 2)], "node long, x long")
+    with pytest.raises(ValueError, match="node"):
+        bind_node_filter(df, "node > 0", "x")

@@ -193,3 +193,33 @@ def test_semantic_dedup_pairs_confined_to_clusters(spark):
     # cosine(1,2)=0.8 >= 0.5 -> dup within cluster
     assert not out[2].keep and out[2].duplicate_of == 1
     assert out[0].keep and out[1].keep
+
+
+def test_kge_null_embedding_never_in_topk(spark):
+    """A null embedding yields a NULL score; under transe's ascending
+    order Spark sorts nulls first, so an unfiltered NULL would steal
+    top-k slots TopKMapComputer never admits (ADVICE round 3)."""
+    rows = [
+        (0, [1.0, 0.0, 2.0]),
+        (1, [0.0, 1.0, 1.0]),
+        (2, None),
+    ]
+    nodes = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = kge_predict(nodes, None, [-1.0, 1.0, -1.0], "transe", top_k=1)
+    best = {x.source_id: x.target_id for x in out.collect()}
+    assert best[0] == 1          # not the NULL-scored node 2
+    assert 2 not in best         # null source scores nothing
+
+
+def test_kge_dim_mismatch_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        kge_predict(_nodes(spark), None, [1.0, 1.0], "distmult")
+
+
+def test_kge_rejects_unknown_score_function(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        kge_predict(_nodes(spark), None, [1.0, 1.0, 1.0], "euclid")

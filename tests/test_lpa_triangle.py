@@ -115,3 +115,24 @@ def test_triangle_stream(spark):
     g = from_edge_list(spark, [(0, 1), (1, 2), (0, 2), (2, 3)], n_nodes=4)
     rows = {(r["node_a"], r["node_b"], r["node_c"]) for r in triangle_stream(g).collect()}
     assert rows == {(0, 1, 2)}
+
+
+def test_triangles_int32_ids(spark):
+    """Packed-key probe must cast to long before shiftleft: IntegerType
+    src/dst follow Java int-shift semantics (shift mod 32 == 0), which
+    would degenerate the 64-bit key to b + c (ADVICE round 3). Build the
+    K5+tail graph with int32 id columns and assert exact parity."""
+    from neo4j_graph_data_science_spark.catalog import SparkGraph
+
+    edges = K5 + [(4, 5), (5, 6), (6, 4), (6, 7)]
+    g64 = from_edge_list(spark, edges, n_nodes=8)
+    g32 = SparkGraph(
+        g64.nodes.select(F.col("id").cast("int").alias("id")),
+        g64.edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+            "rel_type", "weight"),
+    )
+    assert global_triangle_count(g32) == 11
+    per = {r["id"]: r["triangles"] for r in triangle_count(g32).collect()}
+    assert per[0] == 6 and per[5] == 1 and per[7] == 0
