@@ -127,3 +127,41 @@ def test_node_similarity_subcritical_plan_broadcasts_and_caches(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_pregel_edge_side_needs_no_exchange_and_no_sort(spark):
+    """The 'project once, iterate many' invariant, completed in round 4:
+    prepare_edges repartitions AND sorts within partitions by src before
+    persisting, so at scale (state too big to broadcast -> SortMergeJoin)
+    the per-superstep message join needs NEITHER an Exchange NOR a Sort on
+    the edge side -- the only per-superstep sort left inside the cached
+    projection itself, paid once. This is the in-memory analogue of a
+    bucketBy+sortBy edge table (sources/bucketing.py)."""
+    from neo4j_graph_data_science_spark.plans.pregel import prepare_edges
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        g = from_edge_list(spark, [(i, (i * 7 + 1) % 50) for i in range(50)],
+                           n_nodes=50)
+        edges = prepare_edges(g.edges, 4)
+        state = (g.nodes.select("id", F.lit(1.0).alias("rank"))
+                 .repartition(4, "id").persist())
+        state.count()
+        msgs = reduced_messages(edges, state, F.col("rank"), "sum")
+        plan = msgs._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # the edge side is the streamed (first) child: between the SMJ line
+        # and its InMemoryTableScan there must be no Exchange and no Sort
+        smj = plan.index("SortMergeJoin")
+        scan = plan.index("InMemoryTableScan", smj)
+        edge_side = plan[smj:scan]
+        assert "Exchange" not in edge_side, plan
+        assert "Sort [" not in edge_side, plan
+        edges.unpersist()
+        state.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
