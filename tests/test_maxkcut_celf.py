@@ -81,3 +81,27 @@ def test_max_kcut_md5_mode_bipartite_optimum(spark):
     assert got[3] == got[4] == got[5]
     assert got[0] != got[3]
     assert cut == 9.0
+
+
+def test_celf_reach_guard_falls_back(spark):
+    """High propagation probability on a well-connected graph makes the
+    directed closure quadratic; the guard must downgrade to the component
+    approximation with a warning instead of materializing it
+    (round-3 verdict #3)."""
+    import warnings
+
+    from neo4j_graph_data_science_spark.operators.influence import (
+        CelfConfig, celf,
+    )
+
+    edges = [(a, b) for a in range(8) for b in range(8) if a != b]
+    g = from_edge_list(spark, edges, n_nodes=8)
+    cfg = CelfConfig(seed_set_size=2, propagation_probability=0.95,
+                     monte_carlo_simulations=4, max_reach_rows=50)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = celf(g, cfg).collect()
+    assert any("undirected_components" in str(w.message) for w in caught)
+    # p=0.95 on (near-)K8 saturates after the first seed: the greedy loop
+    # stops when no marginal gain remains (same semantics both modes)
+    assert len(out) >= 1 and out[0].spread > 0
