@@ -2231,6 +2231,23 @@ def q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graphsage_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE with the max-pooling aggregator (MaxPoolingAggregator.java)
+    over the SCC event subgraph (rows-only: trained-weight forward pass)."""
+    from neo4j_graph_data_science_spark.operators.graphsage import (
+        GraphSageConfig, graphsage,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    cfg = GraphSageConfig(embedding_dim=16, hidden_dim=16,
+                          train_node_count=256, epochs=5, seed=42,
+                          aggregator="pool")
+    out = graphsage(g, None, cfg)
+    return out.select(
+        "id", F.transform("embedding", lambda x: F.round(x, 5)).alias("emb")
+    )
+
+
 def q_nc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node-classification pipeline (degree + PageRank features, logistic
     regression) on the SCC event subgraph; label = has-above-median-degree
@@ -3846,6 +3863,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden_events_sub": q_leiden,
         "louvain_events_sub": q_louvain,
         "graphsage_events_sub": q_graphsage,
+        "graphsage_pool_events_sub": q_graphsage_pool,
         "lp_pipeline_events_sub": q_lp_pipeline,
     }
 

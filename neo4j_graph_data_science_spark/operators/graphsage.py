@@ -50,6 +50,10 @@ class GraphSageConfig:
     # guard on the driver-side dense training adjacency (O(n^2) doubles):
     # 30k nodes ~= 7.2 GB, a clear error instead of an OOM
     max_involved_nodes: int = 30_000
+    # "mean" (MeanAggregator.java) | "pool" (MaxPoolingAggregator.java:
+    # neighbors pass through a learned relu(W_pool . h + b) layer, then an
+    # elementwise MAX replaces the mean)
+    aggregator: str = "mean"
 
 
 def _degree_features(graph: SparkGraph) -> DataFrame:
@@ -72,6 +76,28 @@ def _neighbor_mean(edges: DataFrame, state: DataFrame, dim: int,
         .select(F.col(DST).alias("id"), F.posexplode("vec").alias("pos", "x"))
         .groupBy("id", "pos")
         .agg(F.avg("x").alias("x"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("_px"))
+        .select("id", F.col("_px.x").alias("nvec"))
+    )
+    return nodes.join(msgs, "id", "left").select(
+        "id",
+        F.coalesce("nvec", F.array_repeat(F.lit(0.0), dim)).alias("nvec"),
+    )
+
+
+def _neighbor_max(edges: DataFrame, state: DataFrame, dim: int,
+                  nodes: DataFrame, vec_col: str = "vec") -> DataFrame:
+    """(id, nvec): elementwise MAX of neighbors' vectors (the pool
+    aggregator's combine), same JVM posexplode shape as the mean; zero
+    vector for isolated nodes (MaxPoolingAggregator's empty-neighborhood
+    identity)."""
+    msgs = (
+        edges.join(state.select(F.col("id").alias(SRC),
+                                F.col(vec_col).alias("_v")), SRC)
+        .select(F.col(DST).alias("id"), F.posexplode("_v").alias("pos", "x"))
+        .groupBy("id", "pos")
+        .agg(F.max("x").alias("x"))
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("_px"))
         .select("id", F.col("_px.x").alias("nvec"))
@@ -166,11 +192,33 @@ def _forward(X, A_mean, Ws1, Wn1, Ws2, Wn2):
     return M0, Z1, H1, M1, Z2
 
 
+def _pool_max(P: np.ndarray, ev: np.ndarray, eu: np.ndarray) -> np.ndarray:
+    """Elementwise max over in-neighbors: M[v] = max_{(v,u) in E} P[u];
+    zero vector for nodes with no neighbors (the aggregator's identity)."""
+    M = np.full_like(P, -np.inf)
+    if len(ev):
+        np.maximum.at(M, ev, P[eu])
+    M[~np.isfinite(M)] = 0.0
+    return M
+
+
+def _pool_max_grad(dM, P, M, ev, eu):
+    """Route dL/dM back to the argmax contributors (ties share)."""
+    dP = np.zeros_like(P)
+    if len(ev):
+        mask = P[eu] == M[ev]
+        np.add.at(dP, eu, dM[ev] * mask)
+    return dP
+
+
 def graphsage_train(graph: SparkGraph, features: DataFrame | None = None,
                     config: GraphSageConfig | None = None) -> dict:
     """Train the two mean-aggregator layers; returns the (tiny) weight
     dict {Ws1, Wn1, Ws2, Wn2, f_dim} for graphsage_predict."""
     cfg = config or GraphSageConfig()
+    if cfg.aggregator not in ("mean", "pool"):
+        raise ValueError(f"unknown aggregator {cfg.aggregator!r}")
+    pool = cfg.aggregator == "pool"
     feats = features if features is not None else _degree_features(graph)
     X, A_mean, pairs = _sample_training_tensors(graph, feats, cfg)
     n, f_dim = X.shape
@@ -181,16 +229,38 @@ def graphsage_train(graph: SparkGraph, features: DataFrame | None = None,
     Wn1 = rng.normal(0, sc1, (cfg.hidden_dim, f_dim))
     Ws2 = rng.normal(0, sc2, (cfg.embedding_dim, cfg.hidden_dim))
     Wn2 = rng.normal(0, sc2, (cfg.embedding_dim, cfg.hidden_dim))
+    model = {"Ws1": Ws1, "Wn1": Wn1, "Ws2": Ws2, "Wn2": Wn2,
+             "f_dim": f_dim, "aggregator": cfg.aggregator}
+    if pool:
+        # the learned per-neighbor pool transform (MaxPoolingAggregator's
+        # poolWeights/bias); square per layer so Wn keeps its mean shape
+        model["Wp1"] = rng.normal(0, sc1, (f_dim, f_dim))
+        model["bp1"] = np.zeros(f_dim)
+        model["Wp2"] = rng.normal(0, sc2, (cfg.hidden_dim, cfg.hidden_dim))
+        model["bp2"] = np.zeros(cfg.hidden_dim)
     if len(pairs) == 0:
-        return {"Ws1": Ws1, "Wn1": Wn1, "Ws2": Ws2, "Wn2": Wn2,
-                "f_dim": f_dim}
+        return model
+    # both directions: the aggregation neighborhood is undirected
+    ev = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    eu = np.concatenate([pairs[:, 1], pairs[:, 0]])
 
     def sigmoid(x):
         return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
 
     lr = cfg.learning_rate
     for _ in range(cfg.epochs):
-        M0, Z1, H1, M1, Z2 = _forward(X, A_mean, Ws1, Wn1, Ws2, Wn2)
+        if pool:
+            Wp1, bp1, Wp2, bp2 = (model["Wp1"], model["bp1"],
+                                  model["Wp2"], model["bp2"])
+            P0 = np.maximum(X @ Wp1.T + bp1, 0.0)
+            M0 = _pool_max(P0, ev, eu)
+            Z1 = X @ Ws1.T + M0 @ Wn1.T
+            H1 = np.maximum(Z1, 0.0)
+            P1 = np.maximum(H1 @ Wp2.T + bp2, 0.0)
+            M1 = _pool_max(P1, ev, eu)
+            Z2 = H1 @ Ws2.T + M1 @ Wn2.T
+        else:
+            M0, Z1, H1, M1, Z2 = _forward(X, A_mean, Ws1, Wn1, Ws2, Wn2)
         H2 = Z2
         G = np.zeros_like(H2)
         u, v = pairs[:, 0], pairs[:, 1]
@@ -208,15 +278,27 @@ def graphsage_train(graph: SparkGraph, features: DataFrame | None = None,
         G /= max(len(pairs), 1)
         dWs2 = G.T @ H1
         dWn2 = G.T @ M1
-        dH1 = G @ Ws2 + A_mean.T @ (G @ Wn2)
-        dZ1 = dH1 * (Z1 > 0)
+        if pool:
+            dM1 = G @ Wn2
+            dP1pre = _pool_max_grad(dM1, P1, M1, ev, eu) * (P1 > 0)
+            dH1 = G @ Ws2 + dP1pre @ Wp2
+            dZ1 = dH1 * (Z1 > 0)
+            dM0 = dZ1 @ Wn1
+            dP0pre = _pool_max_grad(dM0, P0, M0, ev, eu) * (P0 > 0)
+            model["Wp2"] = Wp2 - lr * (dP1pre.T @ H1)
+            model["bp2"] = bp2 - lr * dP1pre.sum(axis=0)
+            model["Wp1"] = Wp1 - lr * (dP0pre.T @ X)
+            model["bp1"] = bp1 - lr * dP0pre.sum(axis=0)
+        else:
+            dH1 = G @ Ws2 + A_mean.T @ (G @ Wn2)
+            dZ1 = dH1 * (Z1 > 0)
         dWs1 = dZ1.T @ X
         dWn1 = dZ1.T @ M0
         Ws1 -= lr * dWs1
         Wn1 -= lr * dWn1
         Ws2 -= lr * dWs2
         Wn2 -= lr * dWn2
-    return {"Ws1": Ws1, "Wn1": Wn1, "Ws2": Ws2, "Wn2": Wn2, "f_dim": f_dim}
+    return model
 
 
 def graphsage_predict(graph: SparkGraph, model: dict,
@@ -243,10 +325,25 @@ def graphsage_predict(graph: SparkGraph, model: dict,
         "sage_state",
     )
 
+    pool = model.get("aggregator", "mean") == "pool"
+
     def layer(state: DataFrame, Ws: np.ndarray, Wn: np.ndarray,
-              relu: bool, normalize: bool) -> DataFrame:
+              relu: bool, normalize: bool,
+              Wp: np.ndarray | None = None,
+              bp: np.ndarray | None = None) -> DataFrame:
         dim_in = Ws.shape[1]
-        nm = _neighbor_mean(edges, state, dim_in, nodes)
+        if pool:
+            # pool transform per node ONCE (one Arrow matmul batch), then
+            # the elementwise neighbor MAX runs JVM-side like the mean
+            @F.pandas_udf("array<double>")
+            def pool_fwd(vec_s: pd.Series) -> pd.Series:
+                P = np.maximum(np.stack(vec_s.to_numpy()) @ Wp.T + bp, 0.0)
+                return pd.Series(list(P))
+
+            pooled = state.select("id", pool_fwd("vec").alias("pvec"))
+            nm = _neighbor_max(edges, pooled, dim_in, nodes, vec_col="pvec")
+        else:
+            nm = _neighbor_mean(edges, state, dim_in, nodes)
         joined = state.join(nm, "id")
 
         @F.pandas_udf("array<double>")
@@ -266,9 +363,11 @@ def graphsage_predict(graph: SparkGraph, model: dict,
         )
 
     state = layer(state, model["Ws1"], model["Wn1"], relu=True,
-                  normalize=False)
+                  normalize=False,
+                  Wp=model.get("Wp1"), bp=model.get("bp1"))
     state = layer(state, model["Ws2"], model["Wn2"], relu=False,
-                  normalize=True)
+                  normalize=True,
+                  Wp=model.get("Wp2"), bp=model.get("bp2"))
     edges.unpersist()
     return state.select("id", F.col("vec").alias("embedding"))
 

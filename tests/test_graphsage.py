@@ -74,3 +74,56 @@ def test_training_sample_guard(spark):
     with pytest.raises(ValueError, match="max_involved_nodes"):
         graphsage_train(g, feats, GraphSageConfig(train_node_count=8,
                                                   max_involved_nodes=4))
+
+
+def test_graphsage_pool_aggregator_separates_and_is_deterministic(spark):
+    """aggregator='pool' (MaxPoolingAggregator.java): learned
+    relu(W_pool.h + b) per neighbor, elementwise MAX combine. Same
+    community-separation and determinism contracts as the mean path."""
+    g, feats = _two_cliques(spark)
+    cfg = GraphSageConfig(embedding_dim=8, hidden_dim=8,
+                          train_node_count=16, epochs=30, seed=1,
+                          aggregator="pool")
+    m1 = graphsage_train(g, feats, cfg)
+    assert m1["aggregator"] == "pool"
+    assert m1["Wp1"].shape == (2, 2) and m1["Wp2"].shape == (8, 8)
+    m2 = graphsage_train(g, feats, cfg)
+    for k in ("Ws1", "Wn1", "Ws2", "Wn2", "Wp1", "bp1", "Wp2", "bp2"):
+        assert np.allclose(m1[k], m2[k]), k
+    emb = {r["id"]: np.array(r["embedding"])
+           for r in graphsage_predict(g, m1, feats, cfg).collect()}
+    assert all(len(v) == 8 for v in emb.values())
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+    within = np.mean([cos(emb[i], emb[j])
+                      for i in range(8) for j in range(i + 1, 8)])
+    across = np.mean([cos(emb[i], emb[8 + j])
+                      for i in range(8) for j in range(8)])
+    assert within > across
+    e1 = sorted((r["id"], tuple(np.round(r["embedding"], 9)))
+                for r in graphsage_predict(g, m1, feats, cfg).collect())
+    e2 = sorted((r["id"], tuple(np.round(r["embedding"], 9)))
+                for r in graphsage_predict(g, m2, feats, cfg).collect())
+    assert e1 == e2
+
+
+def test_graphsage_pool_differs_from_mean(spark):
+    g, feats = _two_cliques(spark)
+    base = dict(embedding_dim=4, hidden_dim=4, train_node_count=16,
+                epochs=5, seed=7)
+    em = {r["id"]: tuple(r["embedding"]) for r in graphsage(
+        g, feats, GraphSageConfig(**base, aggregator="mean")).collect()}
+    ep = {r["id"]: tuple(r["embedding"]) for r in graphsage(
+        g, feats, GraphSageConfig(**base, aggregator="pool")).collect()}
+    assert em != ep
+
+
+def test_graphsage_rejects_unknown_aggregator(spark):
+    import pytest
+
+    g, feats = _two_cliques(spark)
+    with pytest.raises(ValueError, match="aggregator"):
+        graphsage_train(g, feats, GraphSageConfig(aggregator="lstm"))
