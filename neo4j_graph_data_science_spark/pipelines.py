@@ -10,9 +10,10 @@ LinkPredictionTrainingPipeline.java) and ml/ -- GDS pipelines are
 Spark-first mapping: node-property steps are plain operator calls whose
 outputs join into one feature DataFrame; feature assembly is
 `array<double>` columns concatenated JVM-side; training delegates to
-spark.ml estimators (LogisticRegression / LinearRegression /
-RandomForest*), which are themselves distributed -- no driver-side
-learning loops. Link features are Catalyst expressions over the two
+spark.ml estimators (LogisticRegression / RandomForest* / MLP via the
+``method`` arg, mirroring ClassifierTrainerFactory.java:79; LinearRegression
+/ RandomForestRegressor for regression), which are themselves distributed
+-- no driver-side learning loops. Link features are Catalyst expressions over the two
 endpoint arrays (zip_with products / differences), so candidate scoring
 never leaves the JVM.
 """
@@ -88,14 +89,51 @@ class _BasePipeline:
         return out.persist()
 
 
+def _make_classifier(method: str, seed: int, data: DataFrame,
+                     mlp_hidden_layers: tuple[int, ...] = (16,)):
+    """The ClassifierTrainerFactory dispatch (ml/ml-algo/.../models/
+    ClassifierTrainerFactory.java:79): LogisticRegression / RandomForest /
+    MLPClassifier, mapped onto the distributed spark.ml estimators."""
+    from pyspark.ml.classification import (
+        LogisticRegression, MultilayerPerceptronClassifier,
+        RandomForestClassifier,
+    )
+
+    if method == "logistic_regression":
+        return LogisticRegression(featuresCol=_FEAT, labelCol="label",
+                                  maxIter=50)
+    if method == "random_forest":
+        return RandomForestClassifier(featuresCol=_FEAT, labelCol="label",
+                                      seed=seed)
+    if method == "mlp":
+        # spark.ml's MLP wants the full layer spec: probe input width from
+        # one row, class count from the labels (0..k-1 contiguous required)
+        first = data.select(_FEAT, "label").first()
+        n_features = len(first[_FEAT])
+        n_classes = int(data.agg(F.max("label")).collect()[0][0]) + 1
+        return MultilayerPerceptronClassifier(
+            featuresCol=_FEAT, labelCol="label", seed=seed,
+            layers=[n_features, *mlp_hidden_layers, max(n_classes, 2)],
+            maxIter=100,
+        )
+    raise ValueError(
+        f"unknown method {method!r}: expected logistic_regression, "
+        "random_forest, or mlp")
+
+
 class NodeClassificationPipeline(_BasePipeline):
     """gds.beta.pipeline.nodeClassification.* analogue."""
 
     def train(self, graph: SparkGraph, labels: DataFrame,
               label_col: str = "label", holdout: float = 0.25,
-              seed: int = 42):
-        """labels: (id, label). Returns (model, metrics dict)."""
-        from pyspark.ml.classification import LogisticRegression
+              seed: int = 42, method: str = "logistic_regression",
+              mlp_hidden_layers: tuple[int, ...] = (16,)):
+        """labels: (id, label). Returns (model, metrics dict).
+
+        ``method`` selects the model candidate the way the reference's
+        trainer factory does (ClassifierTrainerFactory.java:79):
+        logistic_regression | random_forest | mlp (MLPClassifier ->
+        spark.ml MultilayerPerceptronClassifier; labels must be 0..k-1)."""
         from pyspark.ml.evaluation import (
             MulticlassClassificationEvaluator,
         )
@@ -109,9 +147,8 @@ class NodeClassificationPipeline(_BasePipeline):
         train_df, test_df = data.randomSplit(
             [1.0 - holdout, holdout], seed=seed
         )
-        model = LogisticRegression(
-            featuresCol=_FEAT, labelCol="label", maxIter=50
-        ).fit(train_df)
+        model = _make_classifier(method, seed, data,
+                                 mlp_hidden_layers).fit(train_df)
         pred = model.transform(test_df)
         ev = MulticlassClassificationEvaluator(
             labelCol="label", predictionCol="prediction"
@@ -137,9 +174,13 @@ class NodeRegressionPipeline(_BasePipeline):
 
     def train(self, graph: SparkGraph, targets: DataFrame,
               target_col: str = "target", holdout: float = 0.25,
-              seed: int = 42):
+              seed: int = 42, method: str = "linear_regression"):
+        """``method``: linear_regression | random_forest (the reference's
+        RegressorTrainerFactory candidates)."""
         from pyspark.ml.evaluation import RegressionEvaluator
-        from pyspark.ml.regression import LinearRegression
+        from pyspark.ml.regression import (
+            LinearRegression, RandomForestRegressor,
+        )
 
         feats = self._node_features(graph)
         data = _assemble(
@@ -151,9 +192,17 @@ class NodeRegressionPipeline(_BasePipeline):
         train_df, test_df = data.randomSplit(
             [1.0 - holdout, holdout], seed=seed
         )
-        model = LinearRegression(
-            featuresCol=_FEAT, labelCol="target", maxIter=50
-        ).fit(train_df)
+        if method == "linear_regression":
+            est = LinearRegression(featuresCol=_FEAT, labelCol="target",
+                                   maxIter=50)
+        elif method == "random_forest":
+            est = RandomForestRegressor(featuresCol=_FEAT,
+                                        labelCol="target", seed=seed)
+        else:
+            raise ValueError(
+                f"unknown method {method!r}: expected linear_regression "
+                "or random_forest")
+        model = est.fit(train_df)
         pred = model.transform(test_df)
         ev = RegressionEvaluator(labelCol="target",
                                  predictionCol="prediction")
@@ -222,12 +271,14 @@ class LinkPredictionPipeline(_BasePipeline):
         return j.withColumn(_FEAT, array_to_vector(lf)).drop("_fa", "_fb")
 
     def train(self, graph: SparkGraph, holdout: float = 0.25,
-              negative_ratio: float = 1.0, seed: int = 42):
+              negative_ratio: float = 1.0, seed: int = 42,
+              method: str = "logistic_regression",
+              mlp_hidden_layers: tuple[int, ...] = (16,)):
         """Positive = existing (distinct, non-loop) edges; negative =
         hash-sampled node pairs that are not edges (reference
         linkPipeline/train/ split semantics, simplified to one candidate
-        model). Returns (model, metrics with auc)."""
-        from pyspark.ml.classification import LogisticRegression
+        model). ``method``: logistic_regression | random_forest | mlp.
+        Returns (model, metrics with auc)."""
         from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
         feats = self._node_features(graph)
@@ -263,9 +314,8 @@ class LinkPredictionPipeline(_BasePipeline):
         train_df, test_df = data.randomSplit(
             [1.0 - holdout, holdout], seed=seed
         )
-        model = LogisticRegression(
-            featuresCol=_FEAT, labelCol="label", maxIter=50
-        ).fit(train_df)
+        model = _make_classifier(method, seed, data,
+                                 mlp_hidden_layers).fit(train_df)
         ev = BinaryClassificationEvaluator(
             labelCol="label", rawPredictionCol="rawPrediction"
         )

@@ -75,3 +75,59 @@ def test_link_prediction(spark):
     scored = {(r["src"], r["dst"]): r["probability"]
               for r in pipe.predict(g, model, pairs=pairs).collect()}
     assert scored[(1, 2)] > scored[(1, 9)]
+
+
+def test_node_classification_mlp_exact_recovery(spark):
+    """method='mlp' (ClassifierTrainerFactory.java:79 MLPClassifier ->
+    spark.ml MultilayerPerceptronClassifier) recovers a linearly separable
+    community label exactly, like the logistic path."""
+    g = _two_cliques(spark)
+    pipe = (
+        NodeClassificationPipeline()
+        .add_node_property("side", lambda gr: gr.nodes.select(
+            "id", (F.col("id") < 10).cast("double").alias("v")))
+        .add_node_property("deg", lambda gr: gr.degrees("UNDIRECTED"))
+    )
+    labels = g.nodes.select("id", (F.col("id") >= 10).cast("long")
+                            .alias("label"))
+    model, metrics = pipe.train(g, labels, holdout=0.3, method="mlp",
+                                mlp_hidden_layers=(8,))
+    assert metrics["accuracy"] == 1.0
+    pred = {r["id"]: r["predicted_class"]
+            for r in pipe.predict(g, model).collect()}
+    assert all(pred[i] == (1 if i >= 10 else 0) for i in range(20))
+
+
+def test_node_classification_random_forest(spark):
+    g = _two_cliques(spark)
+    pipe = NodeClassificationPipeline().add_node_property(
+        "side", lambda gr: gr.nodes.select(
+            "id", (F.col("id") < 10).cast("double").alias("v")))
+    labels = g.nodes.select("id", (F.col("id") >= 10).cast("long")
+                            .alias("label"))
+    model, metrics = pipe.train(g, labels, holdout=0.3,
+                                method="random_forest")
+    assert metrics["accuracy"] == 1.0
+
+
+def test_node_regression_random_forest(spark):
+    g = _two_cliques(spark)
+    pipe = NodeRegressionPipeline().add_node_property(
+        "deg", lambda gr: gr.degrees("UNDIRECTED"))
+    targets = g.degrees("UNDIRECTED").select(
+        "id", (2.0 * F.col("degree") + 1.0).alias("target"))
+    model, metrics = pipe.train(g, targets, holdout=0.3,
+                                method="random_forest")
+    assert metrics["rmse"] < 2.0   # tree regressor: approximate, not exact
+    assert pipe.predict(g, model).count() == 20
+
+
+def test_pipeline_rejects_unknown_method(spark):
+    import pytest
+
+    g = _two_cliques(spark)
+    labels = g.nodes.select("id", F.lit(0).alias("label"))
+    with pytest.raises(ValueError, match="unknown method"):
+        NodeClassificationPipeline().add_node_property(
+            "deg", lambda gr: gr.degrees("UNDIRECTED")
+        ).train(g, labels, method="svm")
