@@ -1850,6 +1850,77 @@ SELECT 0::BIGINT AS "index", seq AS cycle, round(cost, 6) AS total_cost
 FROM walk WHERE node = 0 AND n = 5 AND cost < 0"""
 
 
+def q_bf_all_negative_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-negative-cycle streaming (BellmanFord.java:49 result type
+    carries every discovered cycle): two disjoint rings fed in parallel
+    from node 0, built from the nation table -- ring A 1->2->3->4->1
+    (cost -4), ring B 10->11->10 (cost -1). Parallel feeds keep both
+    cycles alive in the predecessor graph, so the discovered set is
+    implementation-independent and DuckDB-verifiable."""
+    from neo4j_graph_data_science_spark.operators.paths import (
+        bellman_ford_all_negative_cycles,
+    )
+
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("id"))
+    nodes = nat.filter(F.col("id").isin(0, 1, 2, 3, 4, 10, 11))
+    ring_a = nodes.filter(F.col("id").between(1, 4)).select(
+        F.col("id").alias(SRC),
+        (F.lit(1) + F.pmod(F.col("id"), F.lit(4))).cast("long").alias(DST),
+        F.lit(-1.0).alias(W))
+    ring_b = nodes.filter(F.col("id").isin(10, 11)).select(
+        F.col("id").alias(SRC),
+        (F.lit(21) - F.col("id")).cast("long").alias(DST),
+        F.lit(-0.5).alias(W))
+    feeds = nodes.filter(F.col("id") == 0).select(
+        F.col("id").alias(SRC),
+        F.explode(F.array(F.lit(1).cast("long"),
+                          F.lit(10).cast("long"))).alias(DST),
+        F.lit(1.0).alias(W))
+    g = SparkGraph(nodes=nodes,
+                   edges=feeds.unionByName(ring_a).unionByName(ring_b))
+    res = bellman_ford_all_negative_cycles(g, 0)
+    return res.select(
+        "index",
+        F.array_join(F.col("node_ids").cast("array<string>"), "->")
+        .alias("cycle"),
+        F.round("total_cost", 6).alias("total_cost"),
+    )
+
+
+def _bf_all_cycles_sql() -> str:
+    """Oracle: walk each (unique, simple) ring once from its minimum
+    member; the discovered-cycle set of parallel-fed disjoint rings is
+    implementation-independent."""
+    return """WITH RECURSIVE e AS (
+  SELECT n_nationkey::BIGINT AS src,
+         (CASE WHEN n_nationkey BETWEEN 1 AND 4 THEN 1 + (n_nationkey % 4)
+               ELSE 21 - n_nationkey END)::BIGINT AS dst,
+         (CASE WHEN n_nationkey BETWEEN 1 AND 4 THEN -1.0
+               ELSE -0.5 END)::DOUBLE AS w
+  FROM nation
+  WHERE n_nationkey BETWEEN 1 AND 4 OR n_nationkey IN (10, 11)
+),
+wa(node, seq, cost, n) AS (
+  SELECT 1::BIGINT, '1', 0.0::DOUBLE, 0
+  UNION ALL
+  SELECT e.dst, wa.seq || '->' || e.dst, wa.cost + e.w, wa.n + 1
+  FROM wa JOIN e ON e.src = wa.node WHERE wa.n < 4
+),
+wb(node, seq, cost, n) AS (
+  SELECT 10::BIGINT, '10', 0.0::DOUBLE, 0
+  UNION ALL
+  SELECT e.dst, wb.seq || '->' || e.dst, wb.cost + e.w, wb.n + 1
+  FROM wb JOIN e ON e.src = wb.node WHERE wb.n < 2
+)
+SELECT 0::BIGINT AS "index", seq AS cycle, round(cost, 6) AS total_cost
+FROM wa WHERE node = 1 AND n = 4 AND cost < 0
+UNION ALL
+SELECT 1::BIGINT, seq, round(cost, 6)
+FROM wb WHERE node = 10 AND n = 2 AND cost < 0
+ORDER BY "index" """
+
+
 def q_bellman_ford_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bellman-Ford (paths/bellmanford/BellmanFord.java:49) with NEGATIVE
     edge weights w = (src*7 + dst*13) % 5 - 2 on the acyclic event graph
@@ -3808,6 +3879,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_docs": q_minhash_lsh,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "bf_negative_cycle_ring": q_bf_negative_cycle,
+        "bf_all_negative_cycles_ring": q_bf_all_negative_cycles,
         "fingerprint_docs": q_fingerprint,
         "wcc_stats_full": q_wcc_stats_full,
         "wcc_min_community": q_wcc_min_size,
@@ -3898,6 +3970,7 @@ FROM nodes n LEFT JOIN (
         "leiden_md5_events_sub": _leiden_md5_sql(),
         "max_kcut_md5_events_sub": _max_kcut_md5_sql(),
         "bf_negative_cycle_ring": _bf_cycle_sql(),
+        "bf_all_negative_cycles_ring": _bf_all_cycles_sql(),
         "celf_p1_events_sub": _celf_p1_sql(),
         "steiner_events_sub": _steiner_sql(),
         "dfs_events_sub": _dfs_sql(),

@@ -536,25 +536,12 @@ def bellman_ford(graph: SparkGraph, source: int,
     return state.select("id", "dist", F.lit(False).alias("in_negative_cycle"))
 
 
-def bellman_ford_negative_cycles(graph: SparkGraph, source: int,
-                                 config: PathConfig | None = None,
-                                 max_walk: int = 400) -> DataFrame:
-    """(index, node_ids, total_cost): an actual negative CYCLE as a node
-    sequence (first == last), like the reference's NegativeCycle results
-    (paths/bellmanford/BellmanFord.java:49 streams cycles, not just a
-    flag). Returns the cycle found from the deterministic (min-id) seed
-    among nodes still relaxing after V rounds; empty DataFrame when the
-    graph has no negative cycle reachable from `source`.
-
-    The relaxation tracks a predecessor per improvement (argmin by
-    (candidate, src)); the cycle is recovered by walking the pred chain
-    from the seed with a 1-row distributed lookup per hop (the reference's
-    walk is sequential too) until a node repeats, then normalized to start
-    at its minimum member so the result is rotation-stable."""
-    cfg = config or PathConfig()
-    spark = graph.nodes.sparkSession
-    empty = spark.createDataFrame(
-        [], "index long, node_ids array<bigint>, total_cost double")
+def _bf_pred_state(graph: SparkGraph, source: int,
+                   cfg: PathConfig) -> DataFrame | None:
+    """Shared Bellman-Ford relaxation with predecessor tracking: V+1
+    rounds of argmin-by-(candidate, src) relaxation; returns the final
+    (id, dist, changed, pred) state, or None when relaxation converged
+    (no negative cycle reachable from ``source``)."""
     n = graph.nodes.count()
     e = graph.aggregated_edges("MIN")
     edges = prepare_edges(e, cfg.partitions)
@@ -568,7 +555,7 @@ def bellman_ford_negative_cycles(graph: SparkGraph, source: int,
         frontier = state.filter(F.col("changed") & (F.col("dist") != INF))
         if frontier.isEmpty():
             edges.unpersist()
-            return empty
+            return None
         cands = (
             edges.join(frontier.select(F.col("id").alias(SRC),
                                        F.col("dist").alias("_sd")), SRC)
@@ -590,6 +577,31 @@ def bellman_ford_negative_cycles(graph: SparkGraph, source: int,
             .localCheckpoint(eager=True)
         )
     edges.unpersist()
+    return state
+
+
+def bellman_ford_negative_cycles(graph: SparkGraph, source: int,
+                                 config: PathConfig | None = None,
+                                 max_walk: int = 400) -> DataFrame:
+    """(index, node_ids, total_cost): an actual negative CYCLE as a node
+    sequence (first == last), like the reference's NegativeCycle results
+    (paths/bellmanford/BellmanFord.java:49 streams cycles, not just a
+    flag). Returns the cycle found from the deterministic (min-id) seed
+    among nodes still relaxing after V rounds; empty DataFrame when the
+    graph has no negative cycle reachable from `source`.
+
+    The relaxation tracks a predecessor per improvement (argmin by
+    (candidate, src)); the cycle is recovered by walking the pred chain
+    from the seed with a 1-row distributed lookup per hop (the reference's
+    walk is sequential too) until a node repeats, then normalized to start
+    at its minimum member so the result is rotation-stable."""
+    cfg = config or PathConfig()
+    spark = graph.nodes.sparkSession
+    empty = spark.createDataFrame(
+        [], "index long, node_ids array<bigint>, total_cost double")
+    state = _bf_pred_state(graph, source, cfg)
+    if state is None:
+        return empty
     seed_rows = (state.filter(F.col("changed") & (F.col("dist") != INF))
                  .orderBy("id").limit(1).collect())
     if not seed_rows:
@@ -598,7 +610,7 @@ def bellman_ford_negative_cycles(graph: SparkGraph, source: int,
     visited = [int(seed_rows[0]["id"])]
     seen = {visited[0]: 0}
     cycle: list[int] | None = None
-    for _ in range(min(max_walk, 2 * n + 2)):
+    for _ in range(min(max_walk, 2 * graph.nodes.count() + 2)):
         row = pmap.filter(F.col("id") == visited[-1]).collect()
         if not row or row[0]["pred"] is None:
             break
@@ -625,6 +637,92 @@ def bellman_ford_negative_cycles(graph: SparkGraph, source: int,
     return spark.createDataFrame(
         [(0, [int(x) for x in cycle], float(cost))],
         "index long, node_ids array<bigint>, total_cost double")
+
+
+def bellman_ford_all_negative_cycles(graph: SparkGraph, source: int,
+                                     config: PathConfig | None = None,
+                                     max_walk: int = 400) -> DataFrame:
+    """(index, node_ids, total_cost): EVERY negative cycle in the final
+    predecessor graph, matching the reference's result type which carries
+    all discovered cycles (paths/bellmanford/BellmanFord.java:49,
+    NegativeCycle results), not just one.
+
+    After V+1 relaxation rounds each vertex has at most one predecessor,
+    so the pred edges form a functional forest whose only cycles are
+    negative cycles. Cycles are found distributed: SCC over the pred
+    subgraph (every non-trivial SCC of a functional graph IS a simple
+    cycle), then all cycles' node orders are reconstructed TOGETHER --
+    one pred-map join per hop advances every cycle's walker at once, so
+    the driver loop length is the longest cycle, not the cycle count.
+    Cycles are rotation-normalized to start/end at their minimum member;
+    ``index`` orders cycles by that minimum."""
+    from pyspark.sql.window import Window
+
+    from .scc import scc
+
+    cfg = config or PathConfig()
+    spark = graph.nodes.sparkSession
+    empty = spark.createDataFrame(
+        [], "index long, node_ids array<bigint>, total_cost double")
+    state = _bf_pred_state(graph, source, cfg)
+    if state is None:
+        return empty
+    pred_edges = (state.filter(F.col("pred").isNotNull())
+                  .select(F.col("pred").alias(SRC), F.col("id").alias(DST)))
+    pg = SparkGraph(
+        nodes=state.select("id"),
+        edges=pred_edges.select(SRC, DST, F.lit("PRED").alias("rel_type"),
+                                F.lit(1.0).alias("weight")),
+    )
+    comp = scc(pg)
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("_n"))
+    cyc_nodes = (comp.join(csize.filter(F.col("_n") > 1), "component")
+                 .select("id", F.col("component").alias("comp")))
+    # self-loop cycles (pred(v) == v): singleton SCC but still a cycle
+    selfloops = (state.filter(F.col("pred") == F.col("id"))
+                 .select("id", F.col("id").alias("comp")))
+    cyc_nodes = cyc_nodes.unionByName(selfloops).localCheckpoint(eager=True)
+    if cyc_nodes.isEmpty():
+        return empty
+    # next(x) = the in-cycle y with pred(y) = x (unique: pred is a
+    # function, so the reversed map restricted to one simple cycle is too)
+    nxt_map = (state.join(cyc_nodes, "id")
+               .select("comp", F.col("pred").alias("cur"),
+                       F.col("id").alias("nxt"))
+               .localCheckpoint(eager=True))
+    starts = cyc_nodes.groupBy("comp").agg(F.min("id").alias("start"))
+    walk = starts.select("comp", F.lit(0).alias("pos"),
+                         F.col("start").alias("node"))
+    active = starts.select("comp", "start", F.lit(0).alias("pos"),
+                           F.col("start").alias("cur")).localCheckpoint(eager=True)
+    for _ in range(max_walk):
+        if active.isEmpty():
+            break
+        step = active.join(nxt_map, ["comp", "cur"])
+        walk = walk.unionByName(
+            step.select("comp", (F.col("pos") + 1).alias("pos"),
+                        F.col("nxt").alias("node")))
+        active = (step.filter(F.col("nxt") != F.col("start"))
+                  .select("comp", "start", (F.col("pos") + 1).alias("pos"),
+                          F.col("nxt").alias("cur"))
+                  .localCheckpoint(eager=True))
+    walk = walk.localCheckpoint(eager=True)
+    # per-hop costs: consecutive (node, next-node) pairs join the edge set
+    wlead = Window.partitionBy("comp").orderBy("pos")
+    hops = (walk.withColumn("_to", F.lead("node").over(wlead))
+            .filter(F.col("_to").isNotNull())
+            .select("comp", F.col("node").alias(SRC), F.col("_to").alias(DST)))
+    costs = (hops.join(graph.aggregated_edges("MIN"), [SRC, DST])
+             .groupBy("comp").agg(F.round(F.sum(W), 9).alias("total_cost")))
+    seqs = (walk.groupBy("comp")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "node")))
+                 .alias("_pn"))
+            .select("comp", F.col("_pn.node").alias("node_ids")))
+    widx = Window.orderBy("comp")
+    return (seqs.join(costs, "comp")
+            .withColumn("index", F.row_number().over(widx) - 1)
+            .select("index", F.col("node_ids").cast("array<bigint>"),
+                    "total_cost"))
 
 
 def delta_stepping(graph: SparkGraph, source: int, delta: float = 2.0,

@@ -157,3 +157,40 @@ def test_dijkstra_zero_weight_falls_back(spark):
     assert len(rows) == 1
     assert rows[0]["total_cost"] == 1.0
     assert list(rows[0]["node_ids"]) == [0, 1, 2]
+
+
+def test_bellman_ford_all_negative_cycles(spark):
+    """The reference result type carries ALL discovered cycles
+    (BellmanFord.java:49): two disjoint negative rings plus a self-loop,
+    each reconstructed rotation-normalized, ordered by minimum member."""
+    from neo4j_graph_data_science_spark.operators.paths import (
+        bellman_ford_all_negative_cycles,
+    )
+
+    # three cycles fed IN PARALLEL from the source: a cycle downstream of
+    # another negative cycle is masked in the predecessor graph (its preds
+    # chase the unboundedly-decreasing upstream chain) -- the reference's
+    # per-tainted-node pred traces discover the same set
+    edges = [
+        (0, 1, 1.0), (0, 10, 1.0), (0, 20, 1.0),     # source feeds
+        (1, 2, -1.0), (2, 3, -1.0), (3, 1, -1.0),    # ring A: 1->2->3->1 (-3)
+        (10, 11, -0.5), (11, 10, -0.5),              # ring B: 10->11 (-1)
+        (20, 20, -2.0),                              # self-loop cycle at 20
+    ]
+    g = from_edge_list(spark, edges, node_ids=[0, 1, 2, 3, 10, 11, 20])
+    rows = bellman_ford_all_negative_cycles(g, 0).collect()
+    got = {tuple(r["node_ids"]): (r["index"], r["total_cost"]) for r in rows}
+    assert (1, 2, 3, 1) in got and got[(1, 2, 3, 1)][1] == -3.0
+    assert (10, 11, 10) in got and got[(10, 11, 10)][1] == -1.0
+    assert (20, 20) in got and got[(20, 20)][1] == -2.0
+    assert len(rows) == 3
+    assert [r["index"] for r in sorted(rows, key=lambda r: min(r["node_ids"]))] == [0, 1, 2]
+
+
+def test_bellman_ford_all_negative_cycles_empty(spark):
+    from neo4j_graph_data_science_spark.operators.paths import (
+        bellman_ford_all_negative_cycles,
+    )
+
+    g = from_edge_list(spark, WG, n_nodes=4)
+    assert bellman_ford_all_negative_cycles(g, 0).count() == 0
