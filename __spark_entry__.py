@@ -563,6 +563,55 @@ def q_celf(spark: SparkSession, sf_dir: str) -> DataFrame:
                               monte_carlo_simulations=10))
 
 
+def q_celf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-IC CELF in md5 coin mode: the live-edge draw is the ONLY
+    random choice, so with it pinned to 60-bit md5 prefixes the whole run
+    -- live edges, per-sim reachability closure, greedy argmax rounds --
+    replays bit-for-bit in DuckDB recursive SQL (the max-kcut oracle
+    pattern; round-3 verdict #8). Value-verifies the Monte-Carlo machinery
+    that celf_events_sub can only rows-check."""
+    from neo4j_graph_data_science_spark.operators.influence import (
+        CelfConfig, celf,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    return celf(g, CelfConfig(seed_set_size=2, propagation_probability=0.2,
+                              monte_carlo_simulations=5, hash_mode="md5")) \
+        .select("node_id", F.round("spread", 6).alias("spread"))
+
+
+def _celf_md5_sql(R: int = 5, p_ppm: int = 200_000, seed: int = 42) -> str:
+    return f"""WITH RECURSIVE {_SCC_SUB},
+{_ev_ctes("events_sub")},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+sims AS (SELECT range::INT AS sim FROM range({R})),
+live AS MATERIALIZED (
+  SELECT d.src, d.dst, s.sim FROM de d CROSS JOIN sims s
+  WHERE ('0x' || substr(md5(d.src::VARCHAR || ':' || d.dst::VARCHAR || ':'
+         || s.sim::VARCHAR || ':{seed}'), 1, 15))::BIGINT % 1000000 < {p_ppm}
+),
+reach(sim, root, node) AS (
+  SELECT s.sim, n.id, n.id FROM nodes n CROSS JOIN sims s
+  UNION
+  SELECT r.sim, r.root, e.dst
+  FROM reach r JOIN live e ON e.sim = r.sim AND e.src = r.node
+),
+g1 AS (SELECT root, count(*)::DOUBLE / {R} AS g FROM reach GROUP BY root),
+p1 AS (SELECT root, g FROM g1 ORDER BY g DESC, root ASC LIMIT 1),
+cov1 AS MATERIALIZED (
+  SELECT sim, node FROM reach WHERE root = (SELECT root FROM p1)),
+g2 AS (
+  SELECT r.root, count(*)::DOUBLE / {R} AS g FROM reach r
+  WHERE NOT EXISTS (SELECT 1 FROM cov1 c
+                    WHERE c.sim = r.sim AND c.node = r.node)
+  GROUP BY r.root
+),
+p2 AS (SELECT root, g FROM g2 ORDER BY g DESC, root ASC LIMIT 1)
+SELECT root AS node_id, round(g, 6) AS spread FROM p1
+UNION ALL
+SELECT root, round((SELECT g FROM p1) + g, 6) AS spread FROM p2"""
+
+
 def q_celf_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CELF under a DETERMINISTIC cascade (propagation probability 1.0,
     one simulation): directed IC spread degenerates to the reachable-set
@@ -3890,6 +3939,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sllpa_events_sub": q_sllpa,
         "spanning_tree_events_sub": q_spanning_tree,
         "celf_p1_events_sub": q_celf_p1,
+        "celf_md5_events_sub": q_celf_md5,
         "cosine_near_dup": q_cosine_near_dup,
         "modularity_wcc_events": q_modularity_wcc,
         "transcript_sessions_state": q_transcript_sessions,
@@ -3972,6 +4022,7 @@ FROM nodes n LEFT JOIN (
         "bf_negative_cycle_ring": _bf_cycle_sql(),
         "bf_all_negative_cycles_ring": _bf_all_cycles_sql(),
         "celf_p1_events_sub": _celf_p1_sql(),
+        "celf_md5_events_sub": _celf_md5_sql(),
         "steiner_events_sub": _steiner_sql(),
         "dfs_events_sub": _dfs_sql(),
         "wcc_events": f"""{_WCC_CLOSURE}

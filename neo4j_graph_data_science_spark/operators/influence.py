@@ -44,6 +44,10 @@ class CelfConfig:
     seed: int = 42
     mode: str = "directed"   # "directed" (reference IC) | "undirected_components"
     max_levels: int = 64     # BFS depth bound for the directed closure
+    # "xxhash64" (default) | "md5": pins the per-(edge, sim) coin flips to
+    # 60-bit md5 prefixes so DuckDB can replay live edges + reachability +
+    # greedy argmax bit-for-bit (the max-kcut oracle pattern)
+    hash_mode: str = "xxhash64"
     # Size guard for the directed closure: the (sim, root, node) reach
     # table is sum over (sim, node) of |reach(node)| -- quadratic in V when
     # propagation_probability is pushed high on a well-connected graph
@@ -59,6 +63,23 @@ class CelfReachOverflow(RuntimeError):
     """Directed-IC reach closure exceeded CelfConfig.max_reach_rows."""
 
 
+def _coin(cfg: CelfConfig, *cols):
+    """Per-(edge, sim) coin in [0, 1e6): hash-derived so the whole Monte
+    Carlo run is deterministic; md5 mode is DuckDB-replayable."""
+    if cfg.hash_mode == "md5":
+        return F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat_ws(":", *[F.col(c).cast("string")
+                                         if isinstance(c, str) else c
+                                         for c in cols],
+                                  F.lit(str(cfg.seed)))), 1, 15),
+                   16, 10).cast("long"),
+            F.lit(1_000_000))
+    if cfg.hash_mode != "xxhash64":
+        raise ValueError(f"unknown hash_mode {cfg.hash_mode!r}")
+    return F.pmod(F.xxhash64(*cols, F.lit(cfg.seed)), F.lit(1_000_000))
+
+
 def _directed_reach(graph: SparkGraph, cfg: CelfConfig) -> DataFrame:
     """(sim, root, node): node is reachable from root over live directed
     edges in simulation sim (root reaches itself)."""
@@ -71,7 +92,7 @@ def _directed_reach(graph: SparkGraph, cfg: CelfConfig) -> DataFrame:
         SRC, DST, F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("sim"))
     live = truncate(
         sims.filter(
-            F.pmod(F.xxhash64(SRC, DST, "sim", F.lit(cfg.seed)), F.lit(1_000_000))
+            _coin(cfg, SRC, DST, "sim")
             < int(cfg.propagation_probability * 1_000_000)
         ),
         "celf_live",
@@ -166,7 +187,7 @@ def _undirected_celf(graph: SparkGraph, cfg: CelfConfig, spark) -> DataFrame:
     sims = canon.select(
         "a", "b", F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("sim"))
     live = sims.filter(
-        F.pmod(F.xxhash64("a", "b", "sim", F.lit(cfg.seed)), F.lit(1_000_000))
+        _coin(cfg, "a", "b", "sim")
         < int(cfg.propagation_probability * 1_000_000)
     )
     # R disjoint copies via composite ids; WCC once over the union

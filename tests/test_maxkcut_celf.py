@@ -105,3 +105,24 @@ def test_celf_reach_guard_falls_back(spark):
     # p=0.95 on (near-)K8 saturates after the first seed: the greedy loop
     # stops when no marginal gain remains (same semantics both modes)
     assert len(out) >= 1 and out[0].spread > 0
+
+
+def test_celf_md5_mode_matches_xxhash_shape(spark):
+    """md5 coin mode (DuckDB-replayable) returns the same schema and a
+    deterministic seed set; unknown hash modes are rejected."""
+    import pytest
+
+    from neo4j_graph_data_science_spark.operators.influence import (
+        CelfConfig, celf,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2), (3, 4), (4, 0), (1, 4)]
+    g = from_edge_list(spark, edges, n_nodes=5)
+    cfg = CelfConfig(seed_set_size=2, propagation_probability=0.4,
+                     monte_carlo_simulations=6, hash_mode="md5")
+    r1 = celf(g, cfg).collect()
+    r2 = celf(g, cfg).collect()
+    assert [(x.node_id, x.spread) for x in r1] == \
+        [(x.node_id, x.spread) for x in r2]
+    with pytest.raises(ValueError, match="hash_mode"):
+        celf(g, CelfConfig(hash_mode="sha1")).collect()
