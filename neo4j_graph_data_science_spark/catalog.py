@@ -328,6 +328,40 @@ class GraphCatalog:
         return sorted(self._graphs)
 
 
+# ---- operator-internal cache registry --------------------------------------
+# Operators persist() intermediates that several downstream references share
+# (adjacency lists, canonical edge sets, signature tables...). Within one
+# run that retention is deliberate -- MEMORY_AND_DISK LRU eviction bounds the
+# cost -- but a long-lived service session accumulates stale cached plans
+# that compete with hot working sets (round-3 verdict #9). Every such
+# persist routes through register_cache(); clear_caches() releases them all.
+# The graph-memo/catalog layer (sources/tables.py) deliberately does NOT
+# register: projections are the "project once, run many" asset the session
+# is supposed to keep.
+_OPERATOR_CACHES: list[DataFrame] = []
+
+
+def register_cache(df: DataFrame) -> DataFrame:
+    """Track an operator-internal persisted DataFrame so a later
+    clear_caches() can release it; returns ``df`` for chaining."""
+    _OPERATOR_CACHES.append(df)
+    return df
+
+
+def clear_caches() -> int:
+    """Unpersist every registered operator-internal cache (idempotent --
+    already-unpersisted entries are fine). Returns the number released."""
+    n = 0
+    while _OPERATOR_CACHES:
+        df = _OPERATOR_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def bind_node_filter(df: DataFrame, predicate: str | None, col: str) -> DataFrame:
     """Apply a SQL predicate written over the pseudo-column ``node`` by
     rebinding it to ``col`` (the NodeFilterSpec analogue shared by

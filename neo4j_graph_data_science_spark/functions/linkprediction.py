@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import DST, SRC, SparkGraph
+from ..catalog import DST, SRC, SparkGraph, register_cache
 
 
 def _undirected_adj(graph: SparkGraph) -> DataFrame:
@@ -43,7 +43,7 @@ def link_prediction_scores(graph: SparkGraph, pairs: DataFrame) -> DataFrame:
 
     ``pairs`` must have columns node1, node2.
     """
-    adj = _undirected_adj(graph).persist()
+    adj = register_cache(_undirected_adj(graph).persist())
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
 
     a1 = adj.select(F.col("n").alias("node1"), F.col("nb"))

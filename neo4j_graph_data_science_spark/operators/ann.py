@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..catalog import register_cache
 from ..functions.vector import cosine, euclidean_distance
 
 
@@ -200,6 +201,7 @@ def cosine_near_duplicates(
         .select("_id", "band",
                 F.concat_ws("", F.col("_pb.bit").cast("array<string>")).alias("_sig"))
     ).persist()
+    register_cache(band_sig)
     cand = (
         band_sig.select(F.col("_id").alias("vec_a"), "band", "_sig")
         .join(band_sig.select(F.col("_id").alias("vec_b"), "band", "_sig"),

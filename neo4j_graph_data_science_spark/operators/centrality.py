@@ -28,7 +28,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import DST, SRC, W, SparkGraph
+from ..catalog import DST, SRC, SparkGraph, W, register_cache
 from ..plans.local_kernel import local_hits, should_run_local
 from ..plans.pregel import auto_partitions, prepare_edges
 
@@ -46,7 +46,7 @@ class HitsConfig:
 def hits(graph: SparkGraph, config: HitsConfig | None = None) -> DataFrame:
     """(id, auth, hub): L2-normalized per phase, GDS phase order."""
     cfg = config or HitsConfig()
-    eset = graph.edges.select(SRC, DST).persist()
+    eset = register_cache(graph.edges.select(SRC, DST).persist())
     n_edges = eset.count()
     if should_run_local(n_edges, cfg.small_graph_edges, None):
         out = local_hits(eset, graph.nodes.select("id"),

@@ -32,7 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import DST, SRC, W, SparkGraph
+from ..catalog import DST, SRC, SparkGraph, W, register_cache
 
 
 def _undirected_simple(graph: SparkGraph) -> DataFrame:
@@ -161,7 +161,7 @@ def modularity(graph: SparkGraph, communities: DataFrame,
     # the degree union (4 references); lab feeds both endpoint joins and
     # the degree-sum -- each reference would re-run the upstream community
     # computation otherwise
-    canon = _undirected_simple(graph).persist()
+    canon = register_cache(_undirected_simple(graph).persist())
     lab = communities.select("id", F.col(community_col).alias("_c")).persist()
     m = canon.count()
     if m == 0:

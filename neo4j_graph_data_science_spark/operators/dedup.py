@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import register_cache
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, text_hash, rep_id, is_dup): rep = min doc_id per hash."""
@@ -93,7 +95,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     both verify-side signature lookups (4 references), and upstream it is
     the full shingle-explode + k-min aggregation -- the expensive scan of
     the whole pipeline."""
-    signatures = signatures.persist()
+    signatures = register_cache(signatures.persist())
     sig_len_df = signatures.select(F.size("sig").alias("_l")).limit(1).collect()
     rows_per_band = (sig_len_df[0]["_l"] if sig_len_df else bands) // bands
     sig_is_str = dict(signatures.dtypes).get("sig") == "array<string>"
@@ -155,7 +157,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     Shingle self-join; at scale run AFTER lsh_candidate_pairs as verifier."""
     # persisted: feeds the set sizes AND both self-join sides (3 refs of
     # an explode+distinct pipeline)
-    grams = word_ngrams(docs, n, id_col, text_col).persist()
+    grams = register_cache(word_ngrams(docs, n, id_col, text_col).persist())
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "ngram")
     b = grams.select(F.col("doc_id").alias("doc_b"), "ngram")
@@ -247,7 +249,8 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).localCheckpoint(eager=True)
     assign, _cent = lloyd_loop(v, k, iterations)
-    withv = assign.select("id", "community").join(v, "id").persist()
+    withv = register_cache(
+        assign.select("id", "community").join(v, "id").persist())
 
     a = withv.select(F.col("id").alias("id_a"), "community",
                      F.col("vec").alias("_va"))

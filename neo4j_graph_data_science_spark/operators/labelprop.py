@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import DST, SRC, W, SparkGraph
+from ..catalog import DST, SRC, SparkGraph, W, register_cache
 from ..plans.local_kernel import local_label_propagation, should_run_local
 from ..plans.pregel import (
     PregelConfig, PregelResult, auto_partitions, prepare_edges, run_pregel,
@@ -82,7 +82,7 @@ def label_propagation(
         edges = edges.join(nw, SRC).withColumn(W, F.col(W) * F.col("_nw")).drop("_nw")
     if not cfg.weighted and not cfg.node_weight_property:
         edges = edges.withColumn(W, F.lit(1.0))
-    eset = edges.persist()
+    eset = register_cache(edges.persist())
     n_edges = eset.count()
 
     if cfg.seed_property:

@@ -42,7 +42,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import DST, SRC, W, SparkGraph
+from ..catalog import DST, SRC, SparkGraph, W, register_cache
 from ..plans.local_kernel import local_page_rank, should_run_local
 from ..plans.pregel import (
     PregelConfig, PregelResult, auto_partitions, prepare_edges, run_pregel,
@@ -97,7 +97,8 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
     """Returns PregelResult whose state is (id, rank, delta)."""
     cfg = config or PageRankConfig()
     d = cfg.damping_factor
-    agg = graph.aggregated_edges("SUM" if cfg.weighted else "COUNT").persist()
+    agg = register_cache(
+        graph.aggregated_edges("SUM" if cfg.weighted else "COUNT").persist())
     n_edges = agg.count()
     deg = _out_degrees(agg)
     nodes = graph.nodes.select("id")

@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     ArrayType, DoubleType, LongType, StructField, StructType,
 )
 
-from ..catalog import DST, SRC, W, SparkGraph
+from ..catalog import DST, SRC, SparkGraph, W, register_cache
 from .pagerank import PageRankConfig, _out_degrees
 from ..plans.pregel import PregelResult
 
@@ -69,7 +69,8 @@ def pack_csr_blocks(edges: DataFrame, partitions: int = 32) -> DataFrame:
         F.col(SRC).alias("src"), F.col(DST).alias("dst"),
         F.col(W).alias("weight"),
     )
-    blocks = keyed.groupBy("pkey").applyInPandas(pack, BLOCK_SCHEMA).persist()
+    blocks = register_cache(
+        keyed.groupBy("pkey").applyInPandas(pack, BLOCK_SCHEMA).persist())
     blocks.count()
     return blocks
 

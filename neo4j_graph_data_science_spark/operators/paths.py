@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import DST, SRC, W, SparkGraph
+from ..catalog import DST, SRC, SparkGraph, W, register_cache
 from ..plans.local_kernel import (
     LOCAL_PATHS_MAX_EDGES, local_dijkstra_paths, local_relax_dist,
     should_run_local,
@@ -82,7 +82,7 @@ def bfs(graph: SparkGraph, sources: Sequence[int],
         config: PathConfig | None = None) -> DataFrame:
     """(id, dist): minimum hop count from any source; unreachable omitted."""
     cfg = config or PathConfig()
-    eset = graph.edges.select(SRC, DST).distinct().persist()
+    eset = register_cache(graph.edges.select(SRC, DST).distinct().persist())
     n_edges = eset.count()
     src_list = [int(s) for s in sources]
     state0 = graph.nodes.select(

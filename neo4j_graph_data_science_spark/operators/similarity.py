@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..catalog import register_cache
+
 
 @dataclass
 class NodeSimilarityConfig:
@@ -76,9 +78,11 @@ def node_similarity(
     adj = adjacency.select(
         F.col(node_col).alias("n"), F.col(neighbor_col).alias("nb"), *wcol
     ).distinct().persist()
+    register_cache(adj)
     n_adj = adj.count()
 
-    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg")).persist()
+    deg = register_cache(
+        adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg")).persist())
     if cfg.degree_cutoff > 1:
         keep = deg.filter(F.col("deg") >= cfg.degree_cutoff).select("n")
         adj = adj.join(keep, "n", "left_semi")

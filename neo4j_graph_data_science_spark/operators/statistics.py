@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import SparkGraph
+from ..catalog import SparkGraph, register_cache
 
 COMMUNITY_PERCENTILES = [1, 5, 10, 25, 50, 75, 90, 95, 99, 100]
 SIMILARITY_PERCENTILES = [1, 5, 10, 25, 50, 75, 90, 95, 99, 99.9, 100]
@@ -68,7 +68,7 @@ def apply_min_community_size(labels: DataFrame, min_size: int,
     ``labels`` is persisted: it feeds both the size filter and the
     semi-join, and is typically a full community-detection result whose
     re-evaluation would re-run the algorithm."""
-    labels = labels.persist()
+    labels = register_cache(labels.persist())
     keep = community_sizes(labels, col).filter(F.col("size") >= min_size) \
         .select(col)
     return labels.join(keep, col, "left_semi")

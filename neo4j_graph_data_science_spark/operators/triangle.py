@@ -30,7 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import DST, SRC, SparkGraph
+from ..catalog import DST, SRC, SparkGraph, register_cache
 
 
 @dataclass
@@ -65,7 +65,7 @@ def triangle_count(
     # persist so the (possibly expensive) edge derivation upstream runs
     # once, not four times. ONE aggregate materializes the cache and
     # yields the broadcast-decision count plus the key-packing id bounds.
-    canon = _canonical_edges(graph).persist()
+    canon = register_cache(_canonical_edges(graph).persist())
     stats = canon.agg(
         F.count(F.lit(1)).alias("n"),
         F.max(F.greatest(SRC, DST)).alias("m"),
@@ -74,17 +74,18 @@ def triangle_count(
 
     # persisted: referenced by both orientation joins (d1/d2) -- without
     # the cache each reference re-runs the union+aggregate pipeline
-    deg = (
+    deg = register_cache((
         canon.select(F.col(SRC).alias("id"))
         .unionAll(canon.select(F.col(DST).alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
-    ).persist()
+    ).persist())
     nodes = graph.nodes.select("id").join(deg, "id", "left").fillna(0, ["deg"])
 
     excluded = None
     if cfg.max_degree is not None:
-        excluded = nodes.filter(F.col("deg") > cfg.max_degree).select("id").persist()
+        excluded = register_cache(
+            nodes.filter(F.col("deg") > cfg.max_degree).select("id").persist())
         canon = (
             canon.join(excluded.withColumnRenamed("id", SRC), SRC, "left_anti")
             .join(excluded.withColumnRenamed("id", DST), DST, "left_anti")

@@ -33,7 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import DST, SRC, W, SparkGraph
+from ..catalog import DST, SRC, SparkGraph, W, register_cache
 from ..plans.local_kernel import local_wcc, should_run_local
 from ..plans.pregel import (
     PregelConfig, PregelResult, auto_partitions, prepare_edges, run_pregel,
@@ -67,7 +67,7 @@ def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
     e = graph.oriented_edges("UNDIRECTED")
     if cfg.threshold is not None:
         e = e.filter(F.col(W) > cfg.threshold)
-    eset = e.select(SRC, DST).distinct().persist()
+    eset = register_cache(e.select(SRC, DST).distinct().persist())
     n_edges = eset.count()
 
     if cfg.seed_property:
@@ -261,7 +261,7 @@ def consecutive_ids(df: DataFrame, col: str) -> DataFrame:
 
     # persisted: feeds the max-probe, the distinct-rank derivation and the
     # re-number join; df is typically a full community result
-    df = df.persist()
+    df = register_cache(df.persist())
     distinct = df.select(col).distinct()
     hi = distinct.agg(F.max(col)).collect()[0][0]
     width = max(1, (int(hi) if hi is not None else 0) // 4096 + 1)

@@ -26,7 +26,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .catalog import DST, SRC, SparkGraph
+from .catalog import DST, SRC, SparkGraph, register_cache
 
 _FEAT = "features_vec"
 
@@ -86,7 +86,7 @@ class _BasePipeline:
         # build) and each node-property step above is a full algorithm
         # run -- without the cache those algorithms re-execute per
         # reference
-        return out.persist()
+        return register_cache(out.persist())
 
 
 def _make_classifier(method: str, seed: int, data: DataFrame,

@@ -39,7 +39,7 @@ from pyspark.sql.types import (
     ArrayType, BooleanType, DoubleType, LongType, StructField, StructType,
 )
 
-from ..catalog import DST, SRC, W
+from ..catalog import DST, SRC, W, register_cache
 
 # default threshold: ~2M edges ~= 50 MB of Arrow traffic to one task and
 # ~5 ms/superstep of numpy; the distributed loop's fixed cost crosses the
@@ -79,7 +79,7 @@ def _run_cogrouped(edges: DataFrame, state: DataFrame, kernel, schema):
 
 
 def _first_row(out: DataFrame):
-    out = out.persist()
+    out = register_cache(out.persist())
     out.count()
     return out
 

@@ -37,7 +37,7 @@ from typing import Callable, Optional
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import DST, SRC, W
+from ..catalog import DST, SRC, W, register_cache
 from .checkpoint import CheckpointManager, truncate_mem, unpersist_truncated
 
 Reducers: dict[str, Callable[[Column], Column]] = {
@@ -149,7 +149,7 @@ def prepare_edges(edges: DataFrame, partitions: int | None = None) -> DataFrame:
     # interleaved reps on a noisy shared host, best-of kept as in bench):
     # 2.67M -> 3.40M edges/s/superstep (+27%).
     e = e.repartition(partitions, SRC).sortWithinPartitions(SRC)
-    e = e.persist()
+    e = register_cache(e.persist())
     e.count()  # materialize now so every superstep reuses the same blocks
     return e
 

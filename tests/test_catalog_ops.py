@@ -112,3 +112,32 @@ def test_bind_node_filter_rejects_node_column(spark):
     df = spark.createDataFrame([(1, 2)], "node long, x long")
     with pytest.raises(ValueError, match="node"):
         bind_node_filter(df, "node > 0", "x")
+
+
+def test_clear_caches_releases_operator_persists(spark):
+    """Round-3 verdict #9: operator-internal persists are deliberate
+    within a run but must be releasable for long-lived sessions. Every
+    such persist registers itself; clear_caches() unpersists them all
+    (graph-memo projections are intentionally NOT registered)."""
+    from neo4j_graph_data_science_spark.catalog import clear_caches
+    from neo4j_graph_data_science_spark.operators.similarity import (
+        NodeSimilarityConfig, node_similarity,
+    )
+    from neo4j_graph_data_science_spark.operators.triangle import (
+        triangle_count,
+    )
+
+    clear_caches()  # drop registrations left by earlier tests
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+
+    g = from_edge_list(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)])
+    triangle_count(g).count()
+    adj = g.edges.select("src", "dst")
+    node_similarity(adj, "src", "dst", NodeSimilarityConfig(top_k=3)).count()
+    assert jsc.getPersistentRDDs().size() > base
+
+    released = clear_caches()
+    assert released >= 4   # canon + deg (triangle), adj + deg (similarity)
+    assert jsc.getPersistentRDDs().size() <= base
+    assert clear_caches() == 0   # registry drained
