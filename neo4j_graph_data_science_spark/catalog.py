@@ -315,6 +315,34 @@ class GraphCatalog:
         self._graphs[name] = graph
         return graph
 
+    def project_bucketed(self, name: str, graph: SparkGraph,
+                         buckets: int = 32,
+                         with_inverse: bool = False) -> SparkGraph:
+        """Durable projection: materialize the edge list as a
+        bucketBy+sortBy(src) parquet table (sources/bucketing.py) and
+        register a graph reading it. The catalog-backed layout survives
+        session restarts and gives every later equi-join or aggregation on
+        ``src`` a zero-Exchange, zero-Sort edge side -- the durable twin
+        of prepare_edges' in-memory sorted cache, and the storage-layer
+        analogue of GDS paying its CSR import once
+        (native-projection ScanningRelationshipsImporter.java).
+
+        ``with_inverse`` also writes a dst-bucketed table ``<name>_inv``
+        for inverse-indexed algorithms (the indexInverse analogue).
+        At 100 TB size ``buckets`` so one bucket is one task's worth of
+        edges (~10^4 buckets for 10^12 edges)."""
+        from .sources.bucketing import write_bucketed_edges
+
+        tbl = f"{name}_edges_bucketed"
+        edges = write_bucketed_edges(graph.edges, tbl, buckets=buckets)
+        if with_inverse:
+            write_bucketed_edges(graph.edges, f"{tbl}_inv", buckets=buckets,
+                                 by_dst=True)
+        g = SparkGraph(graph.nodes, edges, graph.id_map, graph.orientation,
+                       name)
+        self._graphs[name] = g
+        return g
+
     def get(self, name: str) -> SparkGraph:
         return self._graphs[name]
 

@@ -50,3 +50,23 @@ def test_bucketed_by_dst_inverse_layout(spark):
         assert "Exchange hashpartitioning" not in agg_plan, agg_plan
         assert t.count() == 60
         spark.sql("DROP TABLE IF EXISTS e_bkt_rev")
+
+
+def test_catalog_project_bucketed_roundtrip(spark):
+    """GraphCatalog.project_bucketed writes the durable bucketBy+sortBy
+    edge table, registers a graph reading it, and preserves the edge set;
+    with_inverse adds the dst-bucketed twin."""
+    from neo4j_graph_data_science_spark.catalog import (
+        GraphCatalog, from_edge_list,
+    )
+
+    g = from_edge_list(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    cat = GraphCatalog()
+    gb = cat.project_bucketed("bktest", g, buckets=4, with_inverse=True)
+    assert cat.exists("bktest")
+    got = sorted((r.src, r.dst) for r in gb.edges.collect())
+    assert got == [(0, 1), (1, 2), (2, 0), (2, 3)]
+    inv = spark.table("bktest_edges_bucketed_inv")
+    assert sorted((r.src, r.dst) for r in inv.collect()) == got
+    spark.sql("DROP TABLE IF EXISTS bktest_edges_bucketed")
+    spark.sql("DROP TABLE IF EXISTS bktest_edges_bucketed_inv")
