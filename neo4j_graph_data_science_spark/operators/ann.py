@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -143,8 +145,8 @@ def cosine_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lsh",
-    bands: int = 4,
-    planes_per_band: int = 4,
+    bands: int = 8,
+    planes_per_band: int = 8,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
@@ -154,8 +156,13 @@ def cosine_near_duplicates(
     prefilter -- two vectors are candidates iff ALL planes of at least one
     band agree on sign; candidates are then scored exactly. With b bands of
     r planes, a pair at angle theta survives with prob
-    1-(1-(1-theta/pi)^r)^b: ~0.99 at cosine 0.95 for b=4, r=4, while the
-    bucket join never materializes the quadratic pair space.
+    1-(1-(1-theta/pi)^r)^b. Default 8x8: recall ~0.99 at cosine 0.95,
+    ~0.94 at 0.90, while an UNCORRELATED pair (cosine ~0, the bulk of any
+    large corpus) collides with prob 1-(1-0.5^8)^8 ~ 3% -- the round-3
+    default (4 bands x 4 planes) let ~23% of random pairs through
+    (0.5^4 x 4 bands), which made the exact-verify stage quadratic-ish on
+    isotropic data. The bucket join never materializes the full pair
+    space either way; band shape only tunes the verifier's load.
 
     method="exact": all-pairs O(N^2) scoring -- the oracle/verifier path,
     and the within-bucket scorer the LSH path reuses.
@@ -174,32 +181,34 @@ def cosine_near_duplicates(
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bands * planes_per_band, seed)
     spark = corpus.sparkSession
-    # planes as a broadcast table (one row per plane) instead of inlined
-    # literal-array expressions: keeps each codegen'd expression a single
-    # zip_with, so plan compile time stays flat as bands x planes grows
-    planes_df = spark.createDataFrame(
-        [(i, i // planes_per_band, planes[i]) for i in range(len(planes))],
-        "plane_idx int, band int, coefs array<double>",
-    )
-    bits = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .join(F.broadcast(planes_df))
-        .select(
-            "_id", "band", "plane_idx",
-            (F.aggregate(
-                F.zip_with("_v", "coefs", lambda u, v: u.cast("double") * v),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ) >= 0).cast("int").alias("bit"),
-        )
-    )
+
+    # ALL band signatures in ONE Arrow pass: a batch matmul
+    # (n x dim) @ (dim x bands*r) -> sign bits -> per-band integer codes.
+    # The round-3 shape (broadcast plane table + per-(row, plane)
+    # higher-order zip_with/aggregate) amplified every vector bands*r-fold
+    # through the join and evaluated the dot products with non-codegen
+    # lambda interpreters; the numpy matmul is the vectorized kernel the
+    # Python boundary exists for. Sign determinism: dots are float64; a
+    # bit differs from a sequential-sum replay only when |dot| is within
+    # rounding error of 0, which the seed-fixed planes make measure-zero
+    # (the DuckDB oracle replays value-exactly at both band shapes).
+    P = np.asarray(planes, dtype=np.float64).T          # (dim, bands*r)
+    pw = (1 << np.arange(planes_per_band)).astype(np.int64)
+    n_bands = bands
+
+    @F.pandas_udf("array<long>")
+    def band_codes(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        B = (X @ P >= 0).astype(np.int64)                # (n, bands*r)
+        codes = B.reshape(len(X), n_bands, -1) @ pw      # (n, bands)
+        return pd.Series(list(codes))
+
     # persisted: both sides of the bucket self-join reference band_sig;
-    # without the cache the plane dot products + signature aggregation
-    # run twice
+    # without the cache the signature matmul runs twice
     band_sig = (
-        bits.groupBy("_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("plane_idx", "bit"))).alias("_pb"))
-        .select("_id", "band",
-                F.concat_ws("", F.col("_pb.bit").cast("array<string>")).alias("_sig"))
+        corpus.select(F.col(id_col).alias("_id"),
+                      band_codes(F.col(vec_col)).alias("_codes"))
+        .select("_id", F.posexplode("_codes").alias("band", "_sig"))
     ).persist()
     register_cache(band_sig)
     cand = (
