@@ -158,14 +158,21 @@ def part_co_occurrence_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
 
 def customer_part_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(c_custkey, p_partkey) distinct purchase relationships -- the
-    neighbor sets for node-similarity queries."""
+    neighbor sets for node-similarity queries. Memoized like the graph
+    projections: the orders-lineitem join + distinct is the projection
+    cost, paid once per (session, sf_dir)."""
+    key = _memo_key(spark, "cust_part", sf_dir)
+    if key in _GRAPH_MEMO:
+        return _GRAPH_MEMO[key]
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return (
+    adj = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("c_custkey"),
             F.col("l_partkey").alias("p_partkey"),
         )
         .distinct()
-    )
+    ).persist()
+    _GRAPH_MEMO[key] = adj
+    return adj
