@@ -94,6 +94,30 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _band_codes_udf(planes: list[list[float]], bands: int):
+    """Arrow-batched signature kernel shared by the LSH paths: one numpy
+    matmul (n x dim) @ (dim x bands*r) -> sign bits -> per-band integer
+    codes (array<long>, one code per band). Bit i of a band code is plane
+    i of that band, so bucketing by code is exactly bucketing by the sign
+    pattern. Sign determinism: float64 dots; a bit can differ from a
+    sequential-sum replay only when |dot| sits within rounding error of 0
+    -- measure-zero for seed-fixed planes (the DuckDB oracles replay both
+    LSH surfaces value-exactly)."""
+    P = np.asarray(planes, dtype=np.float64).T
+    r = len(planes) // bands
+    pw = (1 << np.arange(r)).astype(np.int64)
+    n_bands = bands
+
+    @F.pandas_udf("array<long>")
+    def band_codes(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        B = (X @ P >= 0).astype(np.int64)
+        codes = B.reshape(len(X), n_bands, -1) @ pw
+        return pd.Series(list(codes))
+
+    return band_codes
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,22 +132,12 @@ def lsh_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes)
-
-    def signature(vec):
-        bits = []
-        for pl in planes:
-            arr = F.array(*[F.lit(x) for x in pl])
-            d = F.aggregate(
-                F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
+    codes = _band_codes_udf(planes, bands=1)   # one band: the full signature
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")) \
-        .withColumn("_sig", signature(F.col("_cv")))
+        .withColumn("_sig", codes(F.col("_cv")).getItem(0))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")) \
-        .withColumn("_sig", signature(F.col("_qv")))
+        .withColumn("_sig", codes(F.col("_qv")).getItem(0))
     scored = (
         c.join(q, "_sig")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -182,26 +196,13 @@ def cosine_near_duplicates(
     planes = _hyperplanes(dim, bands * planes_per_band, seed)
     spark = corpus.sparkSession
 
-    # ALL band signatures in ONE Arrow pass: a batch matmul
-    # (n x dim) @ (dim x bands*r) -> sign bits -> per-band integer codes.
-    # The round-3 shape (broadcast plane table + per-(row, plane)
-    # higher-order zip_with/aggregate) amplified every vector bands*r-fold
-    # through the join and evaluated the dot products with non-codegen
-    # lambda interpreters; the numpy matmul is the vectorized kernel the
-    # Python boundary exists for. Sign determinism: dots are float64; a
-    # bit differs from a sequential-sum replay only when |dot| is within
-    # rounding error of 0, which the seed-fixed planes make measure-zero
-    # (the DuckDB oracle replays value-exactly at both band shapes).
-    P = np.asarray(planes, dtype=np.float64).T          # (dim, bands*r)
-    pw = (1 << np.arange(planes_per_band)).astype(np.int64)
-    n_bands = bands
-
-    @F.pandas_udf("array<long>")
-    def band_codes(vecs: pd.Series) -> pd.Series:
-        X = np.stack(vecs.to_numpy()).astype(np.float64)
-        B = (X @ P >= 0).astype(np.int64)                # (n, bands*r)
-        codes = B.reshape(len(X), n_bands, -1) @ pw      # (n, bands)
-        return pd.Series(list(codes))
+    # ALL band signatures in ONE Arrow pass (shared kernel: see
+    # _band_codes_udf). The round-3 shape (broadcast plane table +
+    # per-(row, plane) higher-order zip_with/aggregate) amplified every
+    # vector bands*r-fold through the join and evaluated the dot products
+    # with non-codegen lambda interpreters; the numpy matmul is the
+    # vectorized kernel the Python boundary exists for.
+    band_codes = _band_codes_udf(planes, bands)
 
     # persisted: both sides of the bucket self-join reference band_sig;
     # without the cache the signature matmul runs twice
