@@ -339,7 +339,7 @@ class GraphCatalog:
             write_bucketed_edges(graph.edges, f"{tbl}_inv", buckets=buckets,
                                  by_dst=True)
         g = SparkGraph(graph.nodes, edges, graph.id_map, graph.orientation,
-                       name)
+                       name, graph_props=dict(graph.graph_props))
         self._graphs[name] = g
         return g
 
@@ -367,11 +367,24 @@ class GraphCatalog:
 # register: projections are the "project once, run many" asset the session
 # is supposed to keep.
 _OPERATOR_CACHES: list[DataFrame] = []
+# bound on registry size: registered frames keep their (small but nonzero)
+# analyzed-plan objects alive even after the operator itself unpersisted
+# them, so a service session running thousands of calls would creep. Far
+# above any single operator call's registrations, so evicting the oldest
+# entry (unpersisting it first -- stale operator-internal intermediates by
+# definition) is always safe.
+_MAX_REGISTERED = 256
 
 
 def register_cache(df: DataFrame) -> DataFrame:
     """Track an operator-internal persisted DataFrame so a later
     clear_caches() can release it; returns ``df`` for chaining."""
+    if len(_OPERATOR_CACHES) >= _MAX_REGISTERED:
+        old = _OPERATOR_CACHES.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     _OPERATOR_CACHES.append(df)
     return df
 
@@ -402,9 +415,11 @@ def bind_node_filter(df: DataFrame, predicate: str | None, col: str) -> DataFram
     """
     if not predicate:
         return df
-    if "node" in df.columns:
-        # the pseudo-column would shadow a real column; the operators that
-        # route through this helper never carry one, so treat it as misuse
+    if any(c.lower() == "node" for c in df.columns):
+        # the pseudo-column would shadow a real column (Spark resolves
+        # column names case-insensitively, so check that way too); the
+        # operators that route through this helper never carry one, so
+        # treat it as misuse
         raise ValueError(
             "bind_node_filter: DataFrame already has a 'node' column; "
             "rename it before applying a node filter")

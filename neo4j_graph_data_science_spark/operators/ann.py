@@ -102,7 +102,12 @@ def _band_codes_udf(planes: list[list[float]], bands: int):
     pattern. Sign determinism: float64 dots; a bit can differ from a
     sequential-sum replay only when |dot| sits within rounding error of 0
     -- measure-zero for seed-fixed planes (the DuckDB oracles replay both
-    LSH surfaces value-exactly)."""
+    LSH surfaces value-exactly).
+
+    Callers must pre-filter NULL / wrong-length vectors (np.stack would
+    raise on a ragged batch, failing the whole job where the round-3
+    Catalyst expressions produced a NULL signature that just dropped out
+    of the bucket join) -- use _valid_vectors."""
     P = np.asarray(planes, dtype=np.float64).T
     r = len(planes) // bands
     pw = (1 << np.arange(r)).astype(np.int64)
@@ -116,6 +121,15 @@ def _band_codes_udf(planes: list[list[float]], bands: int):
         return pd.Series(list(codes))
 
     return band_codes
+
+
+def _valid_vectors(df: DataFrame, vec_col, dim: int) -> DataFrame:
+    """Drop rows whose vector is NULL or not exactly ``dim`` long --
+    matching the round-3 behavior where such rows hashed to a NULL
+    signature and fell out of the equi-join, instead of crashing the
+    Arrow batch."""
+    return df.filter(F.col(vec_col).isNotNull()
+                     & (F.size(F.col(vec_col)) == dim))
 
 
 def lsh_topk(
@@ -134,9 +148,11 @@ def lsh_topk(
     planes = _hyperplanes(dim, n_planes)
     codes = _band_codes_udf(planes, bands=1)   # one band: the full signature
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")) \
+    c = _valid_vectors(corpus, vec_col, dim) \
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")) \
         .withColumn("_sig", codes(F.col("_cv")).getItem(0))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")) \
+    q = _valid_vectors(queries, vec_col, dim) \
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")) \
         .withColumn("_sig", codes(F.col("_qv")).getItem(0))
     scored = (
         c.join(q, "_sig")
@@ -207,8 +223,9 @@ def cosine_near_duplicates(
     # persisted: both sides of the bucket self-join reference band_sig;
     # without the cache the signature matmul runs twice
     band_sig = (
-        corpus.select(F.col(id_col).alias("_id"),
-                      band_codes(F.col(vec_col)).alias("_codes"))
+        _valid_vectors(corpus, vec_col, dim)
+        .select(F.col(id_col).alias("_id"),
+                band_codes(F.col(vec_col)).alias("_codes"))
         .select("_id", F.posexplode("_codes").alias("band", "_sig"))
     ).persist()
     register_cache(band_sig)

@@ -203,11 +203,18 @@ def _pool_max(P: np.ndarray, ev: np.ndarray, eu: np.ndarray) -> np.ndarray:
 
 
 def _pool_max_grad(dM, P, M, ev, eu):
-    """Route dL/dM back to the argmax contributors (ties share)."""
+    """Route dL/dM back to the argmax contributors; ties SPLIT the
+    gradient (divide by the tie count per (v, dim)) -- with e.g. the
+    default degree features many neighbors share identical pooled rows,
+    and crediting each tied contributor the full gradient would scale the
+    pool-layer step by the duplicate multiplicity."""
     dP = np.zeros_like(P)
     if len(ev):
         mask = P[eu] == M[ev]
-        np.add.at(dP, eu, dM[ev] * mask)
+        ties = np.zeros_like(M)
+        np.add.at(ties, ev, mask.astype(M.dtype))
+        share = np.divide(dM, ties, out=np.zeros_like(dM), where=ties > 0)
+        np.add.at(dP, eu, share[ev] * mask)
     return dP
 
 

@@ -537,11 +537,11 @@ def bellman_ford(graph: SparkGraph, source: int,
 
 
 def _bf_pred_state(graph: SparkGraph, source: int,
-                   cfg: PathConfig) -> DataFrame | None:
+                   cfg: PathConfig) -> "tuple[DataFrame, int] | None":
     """Shared Bellman-Ford relaxation with predecessor tracking: V+1
     rounds of argmin-by-(candidate, src) relaxation; returns the final
-    (id, dist, changed, pred) state, or None when relaxation converged
-    (no negative cycle reachable from ``source``)."""
+    ((id, dist, changed, pred) state, node count), or None when
+    relaxation converged (no negative cycle reachable from ``source``)."""
     n = graph.nodes.count()
     e = graph.aggregated_edges("MIN")
     edges = prepare_edges(e, cfg.partitions)
@@ -577,7 +577,7 @@ def _bf_pred_state(graph: SparkGraph, source: int,
             .localCheckpoint(eager=True)
         )
     edges.unpersist()
-    return state
+    return state, n
 
 
 def bellman_ford_negative_cycles(graph: SparkGraph, source: int,
@@ -599,9 +599,10 @@ def bellman_ford_negative_cycles(graph: SparkGraph, source: int,
     spark = graph.nodes.sparkSession
     empty = spark.createDataFrame(
         [], "index long, node_ids array<bigint>, total_cost double")
-    state = _bf_pred_state(graph, source, cfg)
-    if state is None:
+    res = _bf_pred_state(graph, source, cfg)
+    if res is None:
         return empty
+    state, n = res
     seed_rows = (state.filter(F.col("changed") & (F.col("dist") != INF))
                  .orderBy("id").limit(1).collect())
     if not seed_rows:
@@ -610,7 +611,7 @@ def bellman_ford_negative_cycles(graph: SparkGraph, source: int,
     visited = [int(seed_rows[0]["id"])]
     seen = {visited[0]: 0}
     cycle: list[int] | None = None
-    for _ in range(min(max_walk, 2 * graph.nodes.count() + 2)):
+    for _ in range(min(max_walk, 2 * n + 2)):
         row = pmap.filter(F.col("id") == visited[-1]).collect()
         if not row or row[0]["pred"] is None:
             break
@@ -664,9 +665,10 @@ def bellman_ford_all_negative_cycles(graph: SparkGraph, source: int,
     spark = graph.nodes.sparkSession
     empty = spark.createDataFrame(
         [], "index long, node_ids array<bigint>, total_cost double")
-    state = _bf_pred_state(graph, source, cfg)
-    if state is None:
+    res = _bf_pred_state(graph, source, cfg)
+    if res is None:
         return empty
+    state, _n = res
     pred_edges = (state.filter(F.col("pred").isNotNull())
                   .select(F.col("pred").alias(SRC), F.col("id").alias(DST)))
     pg = SparkGraph(
@@ -706,7 +708,16 @@ def bellman_ford_all_negative_cycles(graph: SparkGraph, source: int,
                   .select("comp", "start", (F.col("pos") + 1).alias("pos"),
                           F.col("nxt").alias("cur"))
                   .localCheckpoint(eager=True))
+    # a walker still active after max_walk hops never closed its cycle --
+    # drop that component entirely rather than emitting a non-closed node
+    # sequence with a partial cost (the single-cycle variant returns
+    # empty in the analogous case)
+    if not active.isEmpty():
+        unfinished = active.select("comp").distinct()
+        walk = walk.join(unfinished, "comp", "left_anti")
     walk = walk.localCheckpoint(eager=True)
+    if walk.isEmpty():
+        return empty
     # per-hop costs: consecutive (node, next-node) pairs join the edge set
     wlead = Window.partitionBy("comp").orderBy("pos")
     hops = (walk.withColumn("_to", F.lead("node").over(wlead))

@@ -141,3 +141,22 @@ def test_clear_caches_releases_operator_persists(spark):
     assert released >= 4   # canon + deg (triangle), adj + deg (similarity)
     assert jsc.getPersistentRDDs().size() <= base
     assert clear_caches() == 0   # registry drained
+
+
+def test_project_bucketed_keeps_graph_props(spark):
+    from neo4j_graph_data_science_spark.catalog import GraphCatalog
+
+    g = from_edge_list(spark, [(0, 1), (1, 2)]).set_graph_property("tw", 5.0)
+    cat = GraphCatalog()
+    gb = cat.project_bucketed("bkprops", g, buckets=2)
+    assert gb.graph_property("tw") == 5.0
+    spark.sql("DROP TABLE IF EXISTS bkprops_edges_bucketed")
+
+
+def test_bind_node_filter_rejects_node_column_any_case(spark):
+    import pytest
+    from neo4j_graph_data_science_spark.catalog import bind_node_filter
+
+    df = spark.createDataFrame([(1, 2)], "NODE long, x long")
+    with pytest.raises(ValueError, match="node"):
+        bind_node_filter(df, "node > 0", "x")

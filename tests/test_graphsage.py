@@ -127,3 +127,22 @@ def test_graphsage_rejects_unknown_aggregator(spark):
     g, feats = _two_cliques(spark)
     with pytest.raises(ValueError, match="aggregator"):
         graphsage_train(g, feats, GraphSageConfig(aggregator="lstm"))
+
+
+def test_pool_max_grad_splits_ties():
+    """Tied argmax contributors share (split) the gradient instead of each
+    receiving the full upstream gradient."""
+    from neo4j_graph_data_science_spark.operators.graphsage import (
+        _pool_max, _pool_max_grad,
+    )
+
+    # node 0 has neighbors 1 and 2 with IDENTICAL pooled rows
+    P = np.array([[0.0], [3.0], [3.0]])
+    ev = np.array([0, 0])
+    eu = np.array([1, 2])
+    M = _pool_max(P, ev, eu)
+    assert M[0, 0] == 3.0
+    dM = np.array([[2.0], [0.0], [0.0]])
+    dP = _pool_max_grad(dM, P, M, ev, eu)
+    assert dP[1, 0] == 1.0 and dP[2, 0] == 1.0   # split, not 2.0 each
+    assert dP.sum() == 2.0

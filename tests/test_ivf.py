@@ -84,3 +84,28 @@ def test_ivf_index_partitions_corpus(spark):
               .groupBy("cell").agg(F.countDistinct("true_c").alias("nc"))
               .agg(F.max("nc")).collect()[0][0])
     assert spread == 1
+
+
+def test_lsh_paths_tolerate_null_and_ragged_vectors(spark):
+    """The Arrow signature kernel would crash on a NULL / wrong-length
+    embedding (np.stack raises on ragged batches); such rows must drop
+    out of the bucket join like the round-3 NULL-signature behavior."""
+    from neo4j_graph_data_science_spark.operators.ann import (
+        cosine_near_duplicates, lsh_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),
+        (2, None),
+        (3, [1.0, 0.0]),           # wrong length
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r.vec_a, r.vec_b)
+             for r in cosine_near_duplicates(emb, threshold=0.9,
+                                             method="lsh").collect()}
+    assert (0, 1) in pairs
+    assert all(2 not in p and 3 not in p for p in pairs)
+    top = lsh_topk(emb, emb, k=2, n_planes=4).collect()
+    ids = {r.query_id for r in top} | {r.neighbor_id for r in top}
+    assert 2 not in ids and 3 not in ids and len(top) > 0

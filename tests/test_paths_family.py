@@ -194,3 +194,18 @@ def test_bellman_ford_all_negative_cycles_empty(spark):
 
     g = from_edge_list(spark, WG, n_nodes=4)
     assert bellman_ford_all_negative_cycles(g, 0).count() == 0
+
+
+def test_bellman_ford_all_cycles_drops_unfinished_walkers(spark):
+    """A cycle longer than max_walk must be dropped, not emitted as a
+    non-closed sequence with a partial cost."""
+    from neo4j_graph_data_science_spark.operators.paths import (
+        bellman_ford_all_negative_cycles,
+    )
+
+    edges = [(0, 1, 1.0),
+             (1, 2, -1.0), (2, 3, -1.0), (3, 4, -1.0), (4, 1, -1.0)]
+    g = from_edge_list(spark, edges, n_nodes=5)
+    assert bellman_ford_all_negative_cycles(g, 0, max_walk=2).count() == 0
+    full = bellman_ford_all_negative_cycles(g, 0).collect()
+    assert len(full) == 1 and list(full[0].node_ids) == [1, 2, 3, 4, 1]

@@ -136,7 +136,13 @@ def main() -> None:
             runs_hi.append(r)
 
     def variance(runs: list) -> float:
-        vals = [tp(r) for r in runs if tp(r)]
+        # a failed rep (tp 0, e.g. subprocess timeout on a loaded host)
+        # counts as infinite variance: a 1-good/1-failed level is exactly
+        # the contended single-effective-rep window the retry exists for
+        vals = [tp(r) for r in runs]
+        if any(v == 0 for v in vals) and any(v > 0 for v in vals):
+            return float("inf")
+        vals = [v for v in vals if v]
         return (max(vals) / min(vals)) if len(vals) > 1 else 1.0
 
     results = []
@@ -175,8 +181,10 @@ def main() -> None:
             "edges": best_lo["edges"], "supersteps": best_lo["supersteps"],
             "raw_legs_N": [tp(r) for r in runs_lo],
             "raw_legs_xN": [tp(r) for r in runs_hi],
-            "variance_N": round(variance(runs_lo), 3),
-            "variance_xN": round(variance(runs_hi), 3),
+            # cap so a failed-rep inf never puts non-JSON Infinity in the
+            # artifact
+            "variance_N": round(min(variance(runs_lo), 999.0), 3),
+            "variance_xN": round(min(variance(runs_hi), 999.0), 3),
             "contended_retries": retries,
         })
     print(json.dumps({"scaling": results}))
