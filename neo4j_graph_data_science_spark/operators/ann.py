@@ -124,12 +124,22 @@ def _band_codes_udf(planes: list[list[float]], bands: int):
 
 
 def _valid_vectors(df: DataFrame, vec_col, dim: int) -> DataFrame:
-    """Drop rows whose vector is NULL or not exactly ``dim`` long --
-    matching the round-3 behavior where such rows hashed to a NULL
-    signature and fell out of the equi-join, instead of crashing the
-    Arrow batch."""
-    return df.filter(F.col(vec_col).isNotNull()
-                     & (F.size(F.col(vec_col)) == dim))
+    """Drop rows whose vector is NULL, not exactly ``dim`` long, or
+    contains null ELEMENTS -- matching the round-3 behavior where such
+    rows hashed to a NULL signature and fell out of the equi-join,
+    instead of crashing the Arrow batch (NULL/ragged) or hashing a
+    NaN-garbage signature (null element)."""
+    c = F.col(vec_col)
+    return df.filter(c.isNotNull() & (F.size(c) == dim)
+                     & ~F.exists(c, lambda x: x.isNull()))
+
+
+def _probe_dim(corpus: DataFrame, vec_col: str) -> int | None:
+    """Modal vector length over the corpus (nulls ignored): robust to a
+    NULL or ragged FIRST row, which a bare ``len(first()[0])`` is not.
+    Returns None when no non-null vector exists."""
+    row = corpus.agg(F.mode(F.size(F.col(vec_col)))).collect()[0]
+    return int(row[0]) if row[0] is not None else None
 
 
 def lsh_topk(
@@ -142,9 +152,14 @@ def lsh_topk(
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature buckets, exact cosine
-    within bucket. Recall < 1; cost ~ N/2^planes per bucket."""
+    within bucket. Recall < 1; cost ~ N/2^planes per bucket. ``dim``
+    defaults to the corpus's modal vector length; rows of any other
+    length (and null-element vectors) are dropped from both sides."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _probe_dim(corpus, vec_col)
+        if dim is None:
+            return (corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double"))
     planes = _hyperplanes(dim, n_planes)
     codes = _band_codes_udf(planes, bands=1)   # one band: the full signature
 
@@ -208,7 +223,10 @@ def cosine_near_duplicates(
         )
 
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _probe_dim(corpus, vec_col)
+        if dim is None:
+            return (corpus.sparkSession.createDataFrame(
+                [], "vec_a long, vec_b long, cosine double"))
     planes = _hyperplanes(dim, bands * planes_per_band, seed)
     spark = corpus.sparkSession
 

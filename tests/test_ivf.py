@@ -109,3 +109,35 @@ def test_lsh_paths_tolerate_null_and_ragged_vectors(spark):
     top = lsh_topk(emb, emb, k=2, n_planes=4).collect()
     ids = {r.query_id for r in top} | {r.neighbor_id for r in top}
     assert 2 not in ids and 3 not in ids and len(top) > 0
+
+
+def test_lsh_dim_probe_survives_null_and_ragged_first_rows(spark):
+    """dim inference must be null-safe and modal: a NULL or ragged FIRST
+    row must neither crash the probe nor mis-infer the corpus dim."""
+    from neo4j_graph_data_science_spark.operators.ann import (
+        cosine_near_duplicates, lsh_topk,
+    )
+
+    rows = [
+        (2, None),
+        (3, [1.0, 0.0]),                    # ragged, first non-null
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [1.0, None, 0.0, 0.0]),          # null ELEMENT
+    ]
+    emb = (spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+           .coalesce(1).sortWithinPartitions("vec_id"))
+    pairs = {(r.vec_a, r.vec_b)
+             for r in cosine_near_duplicates(emb, threshold=0.9,
+                                             method="lsh").collect()}
+    assert (0, 1) in pairs                  # dim inferred as 4, not 2
+    assert all(5 not in p for p in pairs)   # null-element row dropped
+    top = lsh_topk(emb, emb, k=3, n_planes=4).collect()
+    assert len(top) > 0
+    assert all(r.cosine is not None for r in top)
+
+    allnull = spark.createDataFrame([(9, None)],
+                                    "vec_id long, embedding array<double>")
+    assert cosine_near_duplicates(allnull, method="lsh").count() == 0
+    assert lsh_topk(allnull, allnull).count() == 0

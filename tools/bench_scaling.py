@@ -136,13 +136,13 @@ def main() -> None:
             runs_hi.append(r)
 
     def variance(runs: list) -> float:
-        # a failed rep (tp 0, e.g. subprocess timeout on a loaded host)
+        # any failed rep (tp 0, e.g. subprocess timeout on a loaded host)
         # counts as infinite variance: a 1-good/1-failed level is exactly
-        # the contended single-effective-rep window the retry exists for
+        # the contended single-effective-rep window the retry exists for,
+        # and an all-failed level is certainly not a stable measurement
         vals = [tp(r) for r in runs]
-        if any(v == 0 for v in vals) and any(v > 0 for v in vals):
+        if any(v == 0 for v in vals):
             return float("inf")
-        vals = [v for v in vals if v]
         return (max(vals) / min(vals)) if len(vals) > 1 else 1.0
 
     results = []
@@ -171,6 +171,11 @@ def main() -> None:
             results.append({"error": "all N-core reps failed",
                             "N_cores": lo, "xN_cores": hi,
                             "detail": best_lo.get("error")})
+            continue
+        if not tp(best_hi):
+            results.append({"error": "all xN-core reps failed",
+                            "N_cores": lo, "xN_cores": hi,
+                            "detail": best_hi.get("error")})
             continue
         results.append({
             "N_cores": lo, "xN_cores": hi, "core_ratio": ratio,
