@@ -71,6 +71,13 @@ class PageRankConfig:
     # of one Spark job per check_every supersteps. None -> module default
     # (2M edges); 0 disables. Identical results (parity-pinned).
     small_graph_edges: int | None = None
+    # ENGINE EXTENSION (no GDS counterpart): warm-start ranks for
+    # incremental pipelines -- a (id, rank|score) DataFrame, e.g. the
+    # previous run's output before new transcript edges were merged. The
+    # PageRank fixpoint is init-independent, so the result is identical;
+    # a near-converged start just needs far fewer supersteps. Nodes
+    # missing from the frame fall back to the cold-start init.
+    initial_ranks: "DataFrame | None" = None
 
 
 def _out_degrees(edges: DataFrame) -> DataFrame:
@@ -115,6 +122,15 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
         alpha.alias("alpha"),
         F.coalesce("out_deg", F.lit(0.0)).alias("out_deg"),
     )
+    if cfg.initial_ranks is not None:
+        rcol = ("rank" if "rank" in cfg.initial_ranks.columns else
+                cfg.initial_ranks.columns[1])
+        init = cfg.initial_ranks.select(
+            F.col(cfg.initial_ranks.columns[0]).alias("id"),
+            F.col(rcol).cast("double").alias("_r0"))
+        base = (base.join(init, "id", "left")
+                .select("id", F.coalesce("_r0", F.col("rank")).alias("rank"),
+                        "alpha", "out_deg"))
 
     if should_run_local(n_edges, cfg.small_graph_edges, cfg.checkpoint_dir):
         state, iters, conv, wall = local_page_rank(

@@ -177,3 +177,38 @@ def test_pagerank_scaler_minmax(spark):
     order_raw = sorted(r, key=lambda i: (r[i], i))
     order_scl = sorted(s, key=lambda i: (s[i], i))
     assert order_raw == order_scl
+
+
+def test_pagerank_warm_start_same_result_fewer_supersteps(spark):
+    """Warm-starting from a previous run's scores (engine extension for
+    incremental pipelines) converges to the same fixpoint in fewer
+    supersteps; nodes missing from the warm frame cold-start."""
+    import math
+
+    from neo4j_graph_data_science_spark.catalog import from_edge_list
+    from neo4j_graph_data_science_spark.operators.pagerank import (
+        PageRankConfig, page_rank,
+    )
+
+    edges = [(i, (i * 3 + 1) % 40) for i in range(40)] + \
+            [(i, (i + 1) % 40) for i in range(40)]
+    g = from_edge_list(spark, edges, n_nodes=40)
+    cold = page_rank(g, PageRankConfig(max_iterations=300, tolerance=1e-7))
+    assert cold.converged
+    prev = cold.state.select("id", F.col("score").alias("rank"))
+    warm = page_rank(g, PageRankConfig(max_iterations=300, tolerance=1e-7,
+                                       initial_ranks=prev))
+    assert warm.converged
+    assert warm.iterations < cold.iterations
+    c = {r.id: r.score for r in cold.state.collect()}
+    w = {r.id: r.score for r in warm.state.collect()}
+    assert all(math.isclose(c[i], w[i], rel_tol=1e-6, abs_tol=1e-6)
+               for i in c)
+    # partial warm frame: missing nodes fall back to cold init, still
+    # converging to the same fixpoint
+    part = prev.filter(F.col("id") < 20)
+    warm2 = page_rank(g, PageRankConfig(max_iterations=300, tolerance=1e-7,
+                                        initial_ranks=part))
+    w2 = {r.id: r.score for r in warm2.state.collect()}
+    assert all(math.isclose(c[i], w2[i], rel_tol=1e-6, abs_tol=1e-6)
+               for i in c)
