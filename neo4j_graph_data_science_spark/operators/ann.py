@@ -137,9 +137,17 @@ def _valid_vectors(df: DataFrame, vec_col, dim: int) -> DataFrame:
 def _probe_dim(corpus: DataFrame, vec_col: str) -> int | None:
     """Modal vector length over the corpus (nulls ignored): robust to a
     NULL or ragged FIRST row, which a bare ``len(first()[0])`` is not.
-    Returns None when no non-null vector exists."""
-    row = corpus.agg(F.mode(F.size(F.col(vec_col)))).collect()[0]
-    return int(row[0]) if row[0] is not None else None
+    Returns None when no non-null vector exists.
+
+    NULL rows are filtered BEFORE the mode aggregate rather than relying
+    on size(NULL)=NULL: under spark.sql.ansi.enabled=false (legacy
+    sizeOfNull) size(NULL) is -1, and a NULL-plurality corpus would
+    otherwise yield modal dim -1 and silently drop every valid vector."""
+    row = (corpus.filter(F.col(vec_col).isNotNull())
+           .agg(F.mode(F.size(F.col(vec_col)))).collect()[0])
+    if row[0] is None or int(row[0]) <= 0:
+        return None
+    return int(row[0])
 
 
 def lsh_topk(

@@ -123,11 +123,21 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
         F.coalesce("out_deg", F.lit(0.0)).alias("out_deg"),
     )
     if cfg.initial_ranks is not None:
+        if len(cfg.initial_ranks.columns) < 2:
+            raise ValueError(
+                "initial_ranks must have (id, rank) columns; got "
+                f"{cfg.initial_ranks.columns}")
         rcol = ("rank" if "rank" in cfg.initial_ranks.columns else
                 cfg.initial_ranks.columns[1])
-        init = cfg.initial_ranks.select(
-            F.col(cfg.initial_ranks.columns[0]).alias("id"),
-            F.col(rcol).cast("double").alias("_r0"))
+        # dedup per id BEFORE the join: a duplicate id in the warm frame
+        # would otherwise duplicate the state row itself (each copy sends
+        # and receives contributions -- silently corrupt ranks AND
+        # duplicate output rows). max() is an arbitrary-but-deterministic
+        # pick; the fixpoint is init-independent either way.
+        init = (cfg.initial_ranks
+                .select(F.col(cfg.initial_ranks.columns[0]).alias("id"),
+                        F.col(rcol).cast("double").alias("_r0"))
+                .groupBy("id").agg(F.max("_r0").alias("_r0")))
         base = (base.join(init, "id", "left")
                 .select("id", F.coalesce("_r0", F.col("rank")).alias("rank"),
                         "alpha", "out_deg"))

@@ -127,19 +127,29 @@ def test_clear_caches_releases_operator_persists(spark):
         triangle_count,
     )
 
+    from neo4j_graph_data_science_spark import catalog as catmod
+
     clear_caches()  # drop registrations left by earlier tests
-    jsc = spark.sparkContext._jsc.sc()
-    base = jsc.getPersistentRDDs().size()
+    # Assert on the registry delta and the registered frames themselves,
+    # NOT on the JVM-global getPersistentRDDs() census: Spark's async
+    # ContextCleaner concurrently GCs stale RDDs from earlier tests in the
+    # shared session, so the global count can DROP across this test's body
+    # (round-4 verdict #2: observed 57 -> 52 mid-test, 1/258 flake).
+    assert len(catmod._OPERATOR_CACHES) == 0
 
     g = from_edge_list(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)])
     triangle_count(g).count()
     adj = g.edges.select("src", "dst")
     node_similarity(adj, "src", "dst", NodeSimilarityConfig(top_k=3)).count()
-    assert jsc.getPersistentRDDs().size() > base
+    registered = list(catmod._OPERATOR_CACHES)
+    assert len(registered) >= 4  # canon + deg (triangle), adj + deg (sim)
+    assert any(df.storageLevel.useMemory or df.storageLevel.useDisk
+               for df in registered)
 
     released = clear_caches()
-    assert released >= 4   # canon + deg (triangle), adj + deg (similarity)
-    assert jsc.getPersistentRDDs().size() <= base
+    assert released == len(registered)
+    for df in registered:   # every registered frame actually unpersisted
+        assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
     assert clear_caches() == 0   # registry drained
 
 

@@ -141,3 +141,24 @@ def test_lsh_dim_probe_survives_null_and_ragged_first_rows(spark):
                                     "vec_id long, embedding array<double>")
     assert cosine_near_duplicates(allnull, method="lsh").count() == 0
     assert lsh_topk(allnull, allnull).count() == 0
+
+
+def test_lsh_probe_dim_null_plurality_legacy_size_conf(spark):
+    """Round-4 ADVICE: with spark.sql.ansi.enabled=false (legacy
+    sizeOfNull -> size(NULL) = -1), a NULL-plurality corpus must still
+    probe the modal dim from the NON-null vectors instead of yielding
+    dim=-1 and silently returning empty."""
+    from neo4j_graph_data_science_spark.operators.ann import lsh_topk
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        rows = [(i, None) for i in range(6)] + \
+               [(10 + i, [1.0 * i, 2.0, 3.0]) for i in range(4)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        top = lsh_topk(emb, emb, k=2, n_planes=2)
+        assert top.count() > 0
+        assert {r.query_id for r in top.collect()} <= {10, 11, 12, 13}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

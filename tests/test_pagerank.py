@@ -212,3 +212,36 @@ def test_pagerank_warm_start_same_result_fewer_supersteps(spark):
     w2 = {r.id: r.score for r in warm2.state.collect()}
     assert all(math.isclose(c[i], w2[i], rel_tol=1e-6, abs_tol=1e-6)
                for i in c)
+
+
+def test_pagerank_warm_start_duplicate_ids_and_bad_shape(spark):
+    """Round-4 ADVICE: duplicate ids in the warm frame must NOT duplicate
+    state rows (each copy would send/receive contributions and corrupt
+    ranks); a 1-column frame must raise a clear error, not IndexError."""
+    import math
+
+    import pytest
+
+    from neo4j_graph_data_science_spark.catalog import from_edge_list
+    from neo4j_graph_data_science_spark.operators.pagerank import (
+        PageRankConfig, page_rank,
+    )
+
+    edges = [(i, (i * 3 + 1) % 20) for i in range(20)] + \
+            [(i, (i + 1) % 20) for i in range(20)]
+    g = from_edge_list(spark, edges, n_nodes=20)
+    cold = page_rank(g, PageRankConfig(max_iterations=300, tolerance=1e-7))
+    prev = cold.state.select("id", F.col("score").alias("rank"))
+    dup = prev.union(prev)  # every id twice
+    warm = page_rank(g, PageRankConfig(max_iterations=300, tolerance=1e-7,
+                                       initial_ranks=dup))
+    rows = warm.state.collect()
+    assert len(rows) == 20  # no duplicated state/output rows
+    c = {r.id: r.score for r in cold.state.collect()}
+    w = {r.id: r.score for r in rows}
+    assert all(math.isclose(c[i], w[i], rel_tol=1e-6, abs_tol=1e-6)
+               for i in c)
+
+    with pytest.raises(ValueError, match="initial_ranks"):
+        page_rank(g, PageRankConfig(
+            max_iterations=2, initial_ranks=prev.select("id")))
