@@ -174,8 +174,19 @@ class SparkGraph:
         orientation: Orientation | str | None = None,
     ) -> DataFrame:
         """Collapse parallel edges per Aggregation.java semantics. Map-side
-        partial aggregation makes this one well-combined shuffle."""
+        partial aggregation makes this one well-combined shuffle.
+
+        Fast path: a graph projected via ``project_bucketed(...,
+        aggregation=X)`` already holds the collapsed (src, dst, weight)
+        rows bucketed+sorted by src, so a matching request under NATURAL
+        orientation returns the column-pruned scan directly -- no groupBy,
+        and the scan's hash layout and sort order flow through to the
+        Pregel projection (prepare_edges pre_partitioned path)."""
         a = Aggregation(aggregation)
+        o = Orientation(orientation or self.orientation)
+        if (a != Aggregation.NONE and o == Orientation.NATURAL
+                and self.graph_props.get("bucketed_aggregation") == a.value):
+            return self.edges.select(SRC, DST, W)
         e = self.oriented_edges(orientation)
         if a == Aggregation.NONE:
             return e
@@ -318,7 +329,9 @@ class GraphCatalog:
 
     def project_bucketed(self, name: str, graph: SparkGraph,
                          buckets: int = 32,
-                         with_inverse: bool = False) -> SparkGraph:
+                         with_inverse: bool = False,
+                         aggregation: "Aggregation | str | None" = None,
+                         ) -> SparkGraph:
         """Durable projection: materialize the edge list as a
         bucketBy+sortBy(src) parquet table (sources/bucketing.py) and
         register a graph reading it. The catalog-backed layout survives
@@ -333,18 +346,36 @@ class GraphCatalog:
         indexInverse analogue); its name is recorded in
         ``graph_props["inverse_bucketed_table"]`` so callers can
         ``spark.table()`` it without reconstructing the naming scheme.
+
+        ``aggregation`` (SINGLE/SUM/MIN/MAX/COUNT) collapses parallel
+        edges per (src, dst) AT WRITE TIME -- the GDS shape, where the
+        projection config fixes the aggregation and the import pays it
+        once (RelationshipProjection.aggregation,
+        ScanningRelationshipsImporter.java). A matching later
+        ``aggregated_edges()`` call then returns the bucketed scan
+        directly (no groupBy), and the Pregel-family operators detect the
+        layout and skip prepare_edges' repartition+sort entirely: the
+        whole projection phase of an iterative run over a bucketed graph
+        is a column-pruned sorted scan, zero Exchange, zero Sort.
+
         At 100 TB size ``buckets`` so one bucket is one task's worth of
         edges (~10^4 buckets for 10^12 edges)."""
         from .sources.bucketing import write_bucketed_edges
 
         tbl = f"{name}_edges_bucketed"
-        edges = write_bucketed_edges(graph.edges, tbl, buckets=buckets)
         props = dict(graph.graph_props)
+        src_edges = graph.edges
+        if aggregation is not None and Aggregation(aggregation) != Aggregation.NONE:
+            a = Aggregation(aggregation)
+            src_edges = graph.aggregated_edges(a).select(
+                SRC, DST, F.lit("REL").alias(REL), W)
+            props["bucketed_aggregation"] = a.value
+        edges = write_bucketed_edges(src_edges, tbl, buckets=buckets)
         props["bucketed_table"] = tbl
         props["bucketed_buckets"] = buckets
         if with_inverse:
             inv_tbl = f"{tbl}_inv"
-            write_bucketed_edges(graph.edges, inv_tbl, buckets=buckets,
+            write_bucketed_edges(src_edges, inv_tbl, buckets=buckets,
                                  by_dst=True)
             props["inverse_bucketed_table"] = inv_tbl
         g = SparkGraph(graph.nodes, edges, graph.id_map, graph.orientation,

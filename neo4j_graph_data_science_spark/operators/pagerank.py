@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 from ..catalog import DST, SRC, SparkGraph, W, register_cache
 from ..plans.local_kernel import local_page_rank, should_run_local
 from ..plans.pregel import (
-    PregelConfig, PregelResult, auto_partitions, prepare_edges, run_pregel,
+    PregelConfig, PregelResult, auto_partitions, bucketed_layout,
+    prepare_edges, run_pregel,
 )
 
 
@@ -104,8 +105,14 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
     """Returns PregelResult whose state is (id, rank, delta)."""
     cfg = config or PageRankConfig()
     d = cfg.damping_factor
-    agg = register_cache(
-        graph.aggregated_edges("SUM" if cfg.weighted else "COUNT").persist())
+    agg_mode = "SUM" if cfg.weighted else "COUNT"
+    # durable bucketed projection (project_bucketed(aggregation=...)):
+    # edges already collapsed + hash-by-src + sorted on disk, so the whole
+    # in-memory projection below degrades to a column-pruned persist --
+    # no re-repartition, no re-sort (round-4 verdict #4), and the loop
+    # runs at the bucket width so the state exchange co-locates.
+    bucket_width = bucketed_layout(graph, agg_mode)
+    agg = register_cache(graph.aggregated_edges(agg_mode).persist())
     n_edges = agg.count()
     deg = _out_degrees(agg)
     nodes = graph.nodes.select("id")
@@ -155,11 +162,14 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
                       "wall_s": round(wall, 4)}],
         )
 
+    parts = (cfg.partitions or bucket_width
+             or auto_partitions(n_edges, agg.sparkSession))
     edges = prepare_edges(
-        agg, cfg.partitions or auto_partitions(n_edges, agg.sparkSession))
+        agg, parts, pre_partitioned=(bucket_width is not None
+                                     and parts == bucket_width))
     # loop shuffles run at the resolved edge width (auto-sized when None)
     # so the reduce granularity matches the persisted edge blocks
-    loop_parts = cfg.partitions or edges.rdd.getNumPartitions()
+    loop_parts = parts if parts else edges.rdd.getNumPartitions()
 
     # state: (id, rank, alpha, out_deg, contrib = rank/out_deg)
     state0 = (

@@ -46,7 +46,16 @@ def write_bucketed_edges(
     key = DST if by_dst else SRC
     spark = edges.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    w = (edges.write.format("parquet").mode("overwrite")
+    # ONE FILE PER BUCKET: repartition by the bucket key at the bucket
+    # count first. repartition(n, key) and bucketBy(n, key) use the same
+    # HashPartitioning (murmur3 pmod), so each write task holds exactly
+    # one bucket's rows and emits exactly one sorted file. Without this,
+    # every write task emits a file per bucket it touches, and a
+    # multi-file bucket loses the scan's reported sort order -- later
+    # sort-merge joins on the key would re-Sort (though never
+    # re-Exchange) the bucketed side every superstep.
+    w = (edges.repartition(buckets, key)
+         .write.format("parquet").mode("overwrite")
          .bucketBy(buckets, key).sortBy(key))
     if path:
         w = w.option("path", path)

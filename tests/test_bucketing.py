@@ -70,3 +70,37 @@ def test_catalog_project_bucketed_roundtrip(spark):
     assert sorted((r.src, r.dst) for r in inv.collect()) == got
     spark.sql("DROP TABLE IF EXISTS bktest_edges_bucketed")
     spark.sql("DROP TABLE IF EXISTS bktest_edges_bucketed_inv")
+
+
+def test_pagerank_over_bucketed_projection_parity(spark):
+    """A project_bucketed(aggregation=COUNT) graph runs the DISTRIBUTED
+    pregel loop on the pre_partitioned fast path (no projection
+    repartition/sort) and converges to the same scores as the plain
+    graph, including parallel-edge multiplicity."""
+    import math
+
+    from neo4j_graph_data_science_spark.catalog import (
+        GraphCatalog, from_edge_list,
+    )
+    from neo4j_graph_data_science_spark.operators.pagerank import (
+        PageRankConfig, page_rank,
+    )
+
+    edges = [(i, (i * 3 + 1) % 30) for i in range(30)] + \
+            [(i, (i + 1) % 30) for i in range(30)] + \
+            [(0, 1), (0, 1)]  # parallel edges: multiplicity must survive
+    g = from_edge_list(spark, edges, n_nodes=30)
+    cat = GraphCatalog()
+    gb = cat.project_bucketed("bkpr", g, buckets=4, aggregation="COUNT")
+    try:
+        cfg = dict(max_iterations=60, tolerance=1e-8, small_graph_edges=0,
+                   partitions=None)
+        plain = page_rank(g, PageRankConfig(**cfg))
+        bucketed = page_rank(gb, PageRankConfig(**cfg))
+        p = {r.id: r.score for r in plain.state.collect()}
+        b = {r.id: r.score for r in bucketed.state.collect()}
+        assert set(p) == set(b)
+        assert all(math.isclose(p[i], b[i], rel_tol=1e-9, abs_tol=1e-9)
+                   for i in p)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkpr_edges_bucketed")

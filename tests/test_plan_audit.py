@@ -165,3 +165,62 @@ def test_pregel_edge_side_needs_no_exchange_and_no_sort(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_bucketed_projection_feeds_pregel_without_reshuffle(spark):
+    """Round-4 verdict #4: a graph projected via project_bucketed(
+    aggregation=...) must NOT pay the projection shuffle twice. The
+    projection phase (aggregated_edges + prepare_edges pre_partitioned)
+    is a pure column-pruned bucketed scan -- no Exchange, no Sort, no
+    re-aggregation -- and the per-superstep SortMergeJoin still needs
+    neither an Exchange nor a Sort on the edge side, exactly as with the
+    in-memory sorted cache."""
+    from neo4j_graph_data_science_spark.catalog import GraphCatalog
+    from neo4j_graph_data_science_spark.plans.pregel import (
+        bucketed_layout, prepare_edges,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        g = from_edge_list(spark, [(i, (i * 7 + 1) % 50) for i in range(50)]
+                           + [(i, (i * 7 + 1) % 50) for i in range(50)],
+                           n_nodes=50)
+        cat = GraphCatalog()
+        gb = cat.project_bucketed("bkplan", g, buckets=4, aggregation="COUNT")
+        assert bucketed_layout(gb, "COUNT") == 4
+        assert bucketed_layout(gb, "SUM") is None      # mode mismatch
+        assert bucketed_layout(g, "COUNT") is None     # unbucketed graph
+
+        # projection-time plan: pure scan, already collapsed -- no
+        # re-aggregation, no Exchange, no Sort
+        agg = gb.aggregated_edges("COUNT")
+        proj = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in proj, proj
+        assert "Sort [" not in proj, proj
+        assert "HashAggregate" not in proj, proj
+        # parallel-edge collapse happened at write time: weight carries
+        # multiplicity 2, one row per (src, dst)
+        rows = agg.collect()
+        assert len(rows) == 50 and all(r.weight == 2.0 for r in rows)
+
+        edges = prepare_edges(agg, 4, pre_partitioned=True)
+        state = (gb.nodes.select("id", F.lit(1.0).alias("rank"))
+                 .repartition(4, "id").persist())
+        state.count()
+        msgs = reduced_messages(edges, state, F.col("rank"), "sum")
+        plan = msgs._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        smj = plan.index("SortMergeJoin")
+        scan = plan.index("InMemoryTableScan", smj)
+        edge_side = plan[smj:scan]
+        assert "Exchange" not in edge_side, plan
+        assert "Sort [" not in edge_side, plan
+        edges.unpersist()
+        state.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS bkplan_edges_bucketed")
