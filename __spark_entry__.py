@@ -2395,6 +2395,45 @@ def q_nc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.predict(g, model).select("id", "predicted_class")
 
 
+def q_nc_pipeline_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline auto-tuning surface (NodeClassificationTrain.java:233 +
+    AutoTuningConfig.java:33): RandomSearch over a 3-candidate parameter
+    space (unpenalized LR, heavily penalized LR, log-scale-tunable LR),
+    2-fold stratified CV per candidate, winner retrained. Returns one row
+    per scored candidate ordered best-first: (cand_rank, method, penalty)
+    -- rows-only (spark.ml training splits are partitioning-dependent),
+    but the winner is deterministically the unpenalized candidate on this
+    separable label."""
+    from neo4j_graph_data_science_spark.pipelines import (
+        NodeClassificationPipeline,
+    )
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    pipe = (
+        NodeClassificationPipeline()
+        .add_node_property("deg", lambda gr: gr.degrees("UNDIRECTED"))
+        .add_model_candidate("logistic_regression", penalty=0.0)
+        .add_model_candidate("logistic_regression", penalty=1000.0)
+        .add_model_candidate(
+            "logistic_regression",
+            penalty={"range": [1e-3, 1e-1], "log_scale": True})
+        .configure_auto_tuning(max_trials=2)
+    )
+    deg = g.degrees("UNDIRECTED")
+    med = deg.approxQuantile("degree", [0.5], 0.0)[0]
+    labels = g.nodes.join(deg, "id", "left").select(
+        "id", (F.coalesce("degree", F.lit(0)) > med).cast("long").alias("label")
+    )
+    _, metrics = pipe.train(g, labels, holdout=0.25, validation_folds=2)
+    ranked = sorted(metrics["model_candidates"],
+                    key=lambda s: -s["avg_score"])
+    rows = [(i, s["config"]["method"],
+             round(float(s["config"].get("penalty", 0.0)), 6))
+            for i, s in enumerate(ranked)]
+    return spark.createDataFrame(
+        rows, "cand_rank long, method string, penalty double")
+
+
 def q_lp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction pipeline (hadamard link features over degree+PageRank)
     on the SCC event subgraph; top-20 scored non-edges (rows-only)."""
@@ -3982,6 +4021,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_kcut_events_sub": q_max_kcut,
         "hdbscan_embeddings": q_hdbscan,
         "nc_pipeline_events_sub": q_nc_pipeline,
+        "nc_pipeline_tuned_events_sub": q_nc_pipeline_tuned,
         "leiden_events_sub": q_leiden,
         "louvain_events_sub": q_louvain,
         "graphsage_events_sub": q_graphsage,

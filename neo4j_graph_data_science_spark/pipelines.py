@@ -20,15 +20,128 @@ never leaves the JVM.
 
 from __future__ import annotations
 
+import hashlib
+import math
 from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .catalog import DST, SRC, SparkGraph, register_cache
 
 _FEAT = "features_vec"
+
+
+# ---- auto-tuning: RandomSearch over the parameter space + k-fold CV --------
+# Reference: pipeline/AutoTuningConfig.java:33 (MAX_TRIALS = 10),
+# ml/ml-algo/.../automl/RandomSearch.java (concrete candidates always run;
+# up to maxTrials draws from the tunable ones; double ranges uniform or
+# log-scale, integer ranges uniform), and CrossValidation.java /
+# NodeClassificationTrain.java:233 (per-candidate k-fold validation-set
+# averaging, best candidate retrained on the full train split and scored
+# on the outer holdout).
+
+
+@dataclass
+class AutoTuningConfig:
+    """AutoTuningConfig.java:33 -- MAX_TRIALS = 10."""
+
+    max_trials: int = 10
+
+
+def _is_concrete(cand: dict) -> bool:
+    return not any(
+        isinstance(v, dict) and ("range" in v or "values" in v)
+        for v in cand.values()
+    )
+
+
+def _draw(seed: int, trial: int, token: str) -> float:
+    """Deterministic uniform [0,1): md5 over the draw coordinates -- the
+    engine-class replacement for the reference's SplittableRandom
+    (RandomSearch.java:103-118), as used throughout this repo for serial
+    RNG parity-free draws."""
+    h = hashlib.md5(f"{seed}:{trial}:{token}".encode()).hexdigest()
+    return int(h[:15], 16) / float(1 << 60)
+
+
+def _materialize(cand: dict, trial: int, seed: int) -> dict:
+    """Concretize one tunable candidate (RandomSearch.sample):
+    ``{"range": [lo, hi]}`` draws uniform (int range -> nextInt-style
+    [lo, hi); add ``"log_scale": True`` for the reference's LogScale
+    doubles); ``{"values": [...]}`` picks one; scalars pass through."""
+    out = {}
+    for k, v in cand.items():
+        if isinstance(v, dict) and "values" in v:
+            vals = list(v["values"])
+            out[k] = vals[int(_draw(seed, trial, k) * len(vals)) % len(vals)]
+        elif isinstance(v, dict) and "range" in v:
+            lo, hi = v["range"]
+            u = _draw(seed, trial, k)
+            if v.get("log_scale"):
+                lo_l = math.log(max(float(lo), 1e-20))
+                out[k] = math.exp(lo_l + u * (math.log(float(hi)) - lo_l))
+            elif isinstance(lo, int) and isinstance(hi, int):
+                out[k] = lo + int(u * (hi - lo))
+            else:
+                out[k] = float(lo) + u * (float(hi) - float(lo))
+        else:
+            out[k] = v
+    return out
+
+
+def random_search(candidates: list[dict], max_trials: int, seed: int):
+    """RandomSearch.java trial stream: every concrete candidate exactly
+    once, then ``max_trials`` hash-deterministic draws from the tunable
+    candidates (none if the space is fully concrete)."""
+    concrete = [c for c in candidates if _is_concrete(c)]
+    tunable = [c for c in candidates if not _is_concrete(c)]
+    for c in concrete:
+        yield dict(c)
+    for t in range(max_trials if tunable else 0):
+        c = tunable[int(_draw(seed, t, "__cand__") * len(tunable))
+                    % len(tunable)]
+        yield _materialize(c, t, seed)
+
+
+def _stratified_folds(df: DataFrame, k: int, seed: int,
+                      label_col: str, order_cols: list[str]) -> DataFrame:
+    """Deterministic stratified k-fold assignment (the reference's
+    StratifiedKFoldSplitter): within each label, rows are hash-ordered and
+    dealt round-robin into folds, so every fold sees every class."""
+    w = Window.partitionBy(label_col).orderBy(
+        F.xxhash64(*order_cols, F.lit(seed)))
+    return df.withColumn("_fold", (F.row_number().over(w) - 1) % k)
+
+
+def _cv_select(data: DataFrame, folds: int, trials, fit_fn, score_fn,
+               higher_is_better: bool = True):
+    """CrossValidation.selectModel: for each trial config, train on k-1
+    folds / score on the held-out fold, average; return (best_stats,
+    all_stats). ``data`` must carry ``_fold``."""
+    data = register_cache(data.persist())
+    stats = []
+    for cfg in trials:
+        scores = []
+        for f in range(folds):
+            va = data.filter(F.col("_fold") == f)
+            if va.isEmpty():
+                continue
+            m = fit_fn(data.filter(F.col("_fold") != f), cfg)
+            scores.append(score_fn(m, va))
+        if not scores:
+            continue
+        stats.append({"config": cfg,
+                      "avg_score": sum(scores) / len(scores),
+                      "fold_scores": [round(s, 6) for s in scores]})
+    if not stats:
+        raise ValueError("cross-validation produced no scored candidate "
+                         "(all validation folds empty?)")
+    best = (max if higher_is_better else min)(
+        stats, key=lambda s: s["avg_score"])
+    return best, stats
 
 
 def _assemble(df: DataFrame, feature_cols: list[str]) -> DataFrame:
@@ -56,6 +169,8 @@ class _BasePipeline:
         default_factory=list
     )
     feature_cols: list[str] = field(default_factory=list)
+    model_candidates: list[dict] = field(default_factory=list)
+    auto_tuning: AutoTuningConfig = field(default_factory=AutoTuningConfig)
 
     def add_node_property(
         self, name: str, fn: Callable[[SparkGraph], DataFrame]
@@ -63,6 +178,20 @@ class _BasePipeline:
         """fn(graph) must return (id, <value>) with exactly one value
         column; it is renamed to `name` and joined into the feature table."""
         self.steps.append((name, fn))
+        return self
+
+    def add_model_candidate(self, method: str, **params) -> "_BasePipeline":
+        """Add one candidate to the training parameter space (the
+        reference's addLogisticRegression/addRandomForest/addMLP surface,
+        TunableTrainerConfig): scalar params are concrete, ``{"range":
+        [lo, hi]}`` / ``{"values": [...]}`` params are tunable and
+        sampled by RandomSearch up to auto_tuning.max_trials times."""
+        self.model_candidates.append({"method": method, **params})
+        return self
+
+    def configure_auto_tuning(self, max_trials: int) -> "_BasePipeline":
+        """gds.alpha.pipeline.*.configureAutoTuning analogue."""
+        self.auto_tuning = AutoTuningConfig(max_trials=max_trials)
         return self
 
     def select_features(self, cols: list[str]) -> "_BasePipeline":
@@ -90,31 +219,49 @@ class _BasePipeline:
 
 
 def _make_classifier(method: str, seed: int, data: DataFrame,
-                     mlp_hidden_layers: tuple[int, ...] = (16,)):
+                     mlp_hidden_layers: tuple[int, ...] = (16,),
+                     params: dict | None = None):
     """The ClassifierTrainerFactory dispatch (ml/ml-algo/.../models/
     ClassifierTrainerFactory.java:79): LogisticRegression / RandomForest /
-    MLPClassifier, mapped onto the distributed spark.ml estimators."""
+    MLPClassifier, mapped onto the distributed spark.ml estimators.
+
+    ``params`` carries candidate hyperparameters under the reference's
+    names: penalty (-> regParam), max_epochs (-> maxIter), max_depth,
+    num_trees (numberOfDecisionTrees), min_split_size (->
+    minInstancesPerNode, the closest spark.ml knob), hidden_layer_sizes."""
     from pyspark.ml.classification import (
         LogisticRegression, MultilayerPerceptronClassifier,
         RandomForestClassifier,
     )
 
+    p = dict(params or {})
     if method == "logistic_regression":
-        return LogisticRegression(featuresCol=_FEAT, labelCol="label",
-                                  maxIter=50)
+        return LogisticRegression(
+            featuresCol=_FEAT, labelCol="label",
+            maxIter=int(p.get("max_epochs", 50)),
+            regParam=float(p.get("penalty", 0.0)))
     if method == "random_forest":
+        kw = {}
+        if "max_depth" in p:
+            kw["maxDepth"] = int(p["max_depth"])
+        if "num_trees" in p:
+            kw["numTrees"] = int(p["num_trees"])
+        if "min_split_size" in p:
+            kw["minInstancesPerNode"] = int(p["min_split_size"])
         return RandomForestClassifier(featuresCol=_FEAT, labelCol="label",
-                                      seed=seed)
+                                      seed=seed, **kw)
     if method == "mlp":
         # spark.ml's MLP wants the full layer spec: probe input width from
         # one row, class count from the labels (0..k-1 contiguous required)
+        hidden = tuple(int(h) for h in p.get("hidden_layer_sizes",
+                                             mlp_hidden_layers))
         first = data.select(_FEAT, "label").first()
         n_features = len(first[_FEAT])
         n_classes = int(data.agg(F.max("label")).collect()[0][0]) + 1
         return MultilayerPerceptronClassifier(
             featuresCol=_FEAT, labelCol="label", seed=seed,
-            layers=[n_features, *mlp_hidden_layers, max(n_classes, 2)],
-            maxIter=100,
+            layers=[n_features, *hidden, max(n_classes, 2)],
+            maxIter=int(p.get("max_epochs", 100)),
         )
     raise ValueError(
         f"unknown method {method!r}: expected logistic_regression, "
@@ -127,13 +274,24 @@ class NodeClassificationPipeline(_BasePipeline):
     def train(self, graph: SparkGraph, labels: DataFrame,
               label_col: str = "label", holdout: float = 0.25,
               seed: int = 42, method: str = "logistic_regression",
-              mlp_hidden_layers: tuple[int, ...] = (16,)):
+              mlp_hidden_layers: tuple[int, ...] = (16,),
+              validation_folds: int = 3,
+              tuning_metric: str = "f1"):
         """labels: (id, label). Returns (model, metrics dict).
 
-        ``method`` selects the model candidate the way the reference's
-        trainer factory does (ClassifierTrainerFactory.java:79):
-        logistic_regression | random_forest | mlp (MLPClassifier ->
-        spark.ml MultilayerPerceptronClassifier; labels must be 0..k-1)."""
+        With ``add_model_candidate`` candidates registered, training runs
+        the reference's model selection (NodeClassificationTrain.java:233):
+        RandomSearch over the parameter space (up to
+        auto_tuning.max_trials tunable draws, AutoTuningConfig.java:33),
+        each candidate scored by ``validation_folds``-fold stratified
+        cross-validation on the train split, the winner retrained on the
+        full train split and evaluated on the outer holdout.
+        ``metrics["best_candidate"]`` / ``metrics["model_candidates"]``
+        carry the TrainingStatistics analogue.
+
+        Without candidates, ``method`` picks the single trainer the way
+        ClassifierTrainerFactory.java:79 does: logistic_regression |
+        random_forest | mlp (labels must be 0..k-1 for mlp)."""
         from pyspark.ml.evaluation import (
             MulticlassClassificationEvaluator,
         )
@@ -147,15 +305,40 @@ class NodeClassificationPipeline(_BasePipeline):
         train_df, test_df = data.randomSplit(
             [1.0 - holdout, holdout], seed=seed
         )
-        model = _make_classifier(method, seed, data,
-                                 mlp_hidden_layers).fit(train_df)
-        pred = model.transform(test_df)
         ev = MulticlassClassificationEvaluator(
             labelCol="label", predictionCol="prediction"
         )
+        tuning_stats: dict = {}
+        if self.model_candidates:
+            folded = _stratified_folds(train_df, validation_folds, seed,
+                                       "label", ["id"])
+
+            def fit(df, cfg):
+                m = cfg["method"]
+                p = {k: v for k, v in cfg.items() if k != "method"}
+                return _make_classifier(m, seed, df, mlp_hidden_layers,
+                                        p).fit(df.drop("_fold"))
+
+            best, stats = _cv_select(
+                folded, validation_folds,
+                random_search(self.model_candidates,
+                              self.auto_tuning.max_trials, seed),
+                fit,
+                lambda m, va: ev.evaluate(m.transform(va.drop("_fold")),
+                                          {ev.metricName: tuning_metric}),
+            )
+            model = fit(train_df, best["config"])
+            tuning_stats = {"best_candidate": best["config"],
+                            "validation_score": best["avg_score"],
+                            "model_candidates": stats}
+        else:
+            model = _make_classifier(method, seed, data,
+                                     mlp_hidden_layers).fit(train_df)
+        pred = model.transform(test_df)
         metrics = {
             "accuracy": ev.evaluate(pred, {ev.metricName: "accuracy"}),
             "f1": ev.evaluate(pred, {ev.metricName: "f1"}),
+            **tuning_stats,
         }
         return model, metrics
 
@@ -174,13 +357,37 @@ class NodeRegressionPipeline(_BasePipeline):
 
     def train(self, graph: SparkGraph, targets: DataFrame,
               target_col: str = "target", holdout: float = 0.25,
-              seed: int = 42, method: str = "linear_regression"):
+              seed: int = 42, method: str = "linear_regression",
+              validation_folds: int = 3):
         """``method``: linear_regression | random_forest (the reference's
-        RegressorTrainerFactory candidates)."""
+        RegressorTrainerFactory candidates). With ``add_model_candidate``
+        candidates, RandomSearch + k-fold CV select the winner by lowest
+        validation RMSE (NodeRegressionTrain mirrors the classification
+        selection loop); folds are plain hash folds (the reference's
+        non-stratified KFoldSplitter for regression)."""
         from pyspark.ml.evaluation import RegressionEvaluator
         from pyspark.ml.regression import (
             LinearRegression, RandomForestRegressor,
         )
+
+        def make(m, p):
+            if m == "linear_regression":
+                return LinearRegression(
+                    featuresCol=_FEAT, labelCol="target",
+                    maxIter=int(p.get("max_epochs", 50)),
+                    regParam=float(p.get("penalty", 0.0)))
+            if m == "random_forest":
+                kw = {}
+                if "max_depth" in p:
+                    kw["maxDepth"] = int(p["max_depth"])
+                if "num_trees" in p:
+                    kw["numTrees"] = int(p["num_trees"])
+                return RandomForestRegressor(featuresCol=_FEAT,
+                                             labelCol="target", seed=seed,
+                                             **kw)
+            raise ValueError(
+                f"unknown method {m!r}: expected linear_regression "
+                "or random_forest")
 
         feats = self._node_features(graph)
         data = _assemble(
@@ -192,23 +399,39 @@ class NodeRegressionPipeline(_BasePipeline):
         train_df, test_df = data.randomSplit(
             [1.0 - holdout, holdout], seed=seed
         )
-        if method == "linear_regression":
-            est = LinearRegression(featuresCol=_FEAT, labelCol="target",
-                                   maxIter=50)
-        elif method == "random_forest":
-            est = RandomForestRegressor(featuresCol=_FEAT,
-                                        labelCol="target", seed=seed)
-        else:
-            raise ValueError(
-                f"unknown method {method!r}: expected linear_regression "
-                "or random_forest")
-        model = est.fit(train_df)
-        pred = model.transform(test_df)
         ev = RegressionEvaluator(labelCol="target",
                                  predictionCol="prediction")
+        tuning_stats: dict = {}
+        if self.model_candidates:
+            folded = train_df.withColumn(
+                "_fold",
+                F.pmod(F.xxhash64("id", F.lit(seed)),
+                       F.lit(validation_folds)).cast("int"))
+
+            def fit(df, cfg):
+                p = {k: v for k, v in cfg.items() if k != "method"}
+                return make(cfg["method"], p).fit(df.drop("_fold"))
+
+            best, stats = _cv_select(
+                folded, validation_folds,
+                random_search(self.model_candidates,
+                              self.auto_tuning.max_trials, seed),
+                fit,
+                lambda m, va: ev.evaluate(m.transform(va.drop("_fold")),
+                                          {ev.metricName: "rmse"}),
+                higher_is_better=False,
+            )
+            model = fit(train_df, best["config"])
+            tuning_stats = {"best_candidate": best["config"],
+                            "validation_score": best["avg_score"],
+                            "model_candidates": stats}
+        else:
+            model = make(method, {}).fit(train_df)
+        pred = model.transform(test_df)
         metrics = {
             "rmse": ev.evaluate(pred, {ev.metricName: "rmse"}),
             "r2": ev.evaluate(pred, {ev.metricName: "r2"}),
+            **tuning_stats,
         }
         return model, metrics
 
@@ -273,12 +496,15 @@ class LinkPredictionPipeline(_BasePipeline):
     def train(self, graph: SparkGraph, holdout: float = 0.25,
               negative_ratio: float = 1.0, seed: int = 42,
               method: str = "logistic_regression",
-              mlp_hidden_layers: tuple[int, ...] = (16,)):
+              mlp_hidden_layers: tuple[int, ...] = (16,),
+              validation_folds: int = 3):
         """Positive = existing (distinct, non-loop) edges; negative =
         hash-sampled node pairs that are not edges (reference
-        linkPipeline/train/ split semantics, simplified to one candidate
-        model). ``method``: logistic_regression | random_forest | mlp.
-        Returns (model, metrics with auc)."""
+        linkPipeline/train/ split semantics). ``method``:
+        logistic_regression | random_forest | mlp; with
+        ``add_model_candidate`` candidates, RandomSearch + k-fold CV pick
+        the winner by validation AUC instead. Returns (model, metrics
+        with auc)."""
         from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
         feats = self._node_features(graph)
@@ -314,13 +540,39 @@ class LinkPredictionPipeline(_BasePipeline):
         train_df, test_df = data.randomSplit(
             [1.0 - holdout, holdout], seed=seed
         )
-        model = _make_classifier(method, seed, data,
-                                 mlp_hidden_layers).fit(train_df)
         ev = BinaryClassificationEvaluator(
             labelCol="label", rawPredictionCol="rawPrediction"
         )
+        tuning_stats: dict = {}
+        if self.model_candidates:
+            # stratified by label over the (src, dst) key -- the LP split
+            # semantics (LinkPredictionTrain CV over train relationships)
+            folded = _stratified_folds(train_df, validation_folds, seed,
+                                       "label", [SRC, DST])
+
+            def fit(df, cfg):
+                p = {k: v for k, v in cfg.items() if k != "method"}
+                return _make_classifier(cfg["method"], seed, df,
+                                        mlp_hidden_layers,
+                                        p).fit(df.drop("_fold"))
+
+            best, stats = _cv_select(
+                folded, validation_folds,
+                random_search(self.model_candidates,
+                              self.auto_tuning.max_trials, seed),
+                fit,
+                lambda m, va: ev.evaluate(m.transform(va.drop("_fold"))),
+            )
+            model = fit(train_df, best["config"])
+            tuning_stats = {"best_candidate": best["config"],
+                            "validation_score": best["avg_score"],
+                            "model_candidates": stats}
+        else:
+            model = _make_classifier(method, seed, data,
+                                     mlp_hidden_layers).fit(train_df)
         test_used = test_df if not test_df.isEmpty() else train_df
-        metrics = {"auc": ev.evaluate(model.transform(test_used))}
+        metrics = {"auc": ev.evaluate(model.transform(test_used)),
+                   **tuning_stats}
         return model, metrics
 
     def predict(self, graph: SparkGraph, model,
