@@ -417,15 +417,129 @@ def astar(graph: SparkGraph, source: int, target: int,
     return out
 
 
+def _multi_spur_dijkstra(edges: DataFrame, walkers: list[dict], target: int,
+                         cfg: PathConfig) -> dict[int, tuple]:
+    """ALL spur candidates of one Yen's k-iteration as ONE multi-source,
+    per-walker-masked Dijkstra (round-4 verdict #5). Walker w starts at
+    its spur node carrying its own excluded-node/edge masks (a broadcast
+    walker table); every walker relaxes in the SAME per-superstep job and
+    is target-pruned independently, and a single collect at the end
+    returns every spur path -- replacing the per-spur dijkstra().collect()
+    loop, where each spur paid full Spark job latency per superstep AND
+    per spur. Requires strictly positive weights (caller checks; GDS Yens
+    is Dijkstra-backed with the same requirement, paths/yens/Yens.java).
+
+    ``walkers``: [{"wid", "spur", "exn": [node...], "exe": [(u, v)...]}].
+    Returns {wid: (total_cost, node_ids, costs)} for walkers that reached
+    the target."""
+    spark = edges.sparkSession
+    masks = F.broadcast(spark.createDataFrame(
+        [(w["wid"], w["spur"], [int(x) for x in w["exn"]],
+          [(int(u), int(v)) for (u, v) in w["exe"]]) for w in walkers],
+        "wid long, spur long, exn array<long>, "
+        "exe array<struct<u:long,v:long>>"))
+    edge_key = F.struct(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+    # sparse per-walker state: only discovered (wid, id) rows exist
+    state = spark.createDataFrame(
+        [(w["wid"], int(w["spur"]), 0.0, True) for w in walkers],
+        "wid long, id long, dist double, changed boolean",
+    ).localCheckpoint(eager=True)
+    for _ in range(cfg.max_iterations):
+        best_t = (state.filter(F.col("id") == target)
+                  .select("wid", F.col("dist").alias("_bt")))
+        frontier = (state.filter("changed")
+                    .join(F.broadcast(best_t), "wid", "left")
+                    .filter(F.col("dist") < F.coalesce("_bt", F.lit(INF)))
+                    .select("wid", "id", "dist"))
+        if frontier.isEmpty():
+            break
+        cands = (
+            edges.join(frontier.select("wid", F.col("id").alias(SRC),
+                                       F.col("dist").alias("_sd")), SRC)
+            .join(masks, "wid")
+            .filter(~F.array_contains("exn", F.col(DST))
+                    & ~F.array_contains(F.col("exe"), edge_key))
+            .select("wid", F.col(DST).alias("id"),
+                    (F.col("_sd") + F.col(W)).alias("_cand"))
+            .groupBy("wid", "id").agg(F.min("_cand").alias("cand"))
+        )
+        state = (
+            state.join(cands, ["wid", "id"], "full")
+            .select("wid", "id",
+                    F.least(F.coalesce("dist", F.lit(INF)),
+                            F.coalesce("cand", F.lit(INF))).alias("dist"),
+                    (F.coalesce("cand", F.lit(INF))
+                     < F.coalesce("dist", F.lit(INF))).alias("changed"))
+            .localCheckpoint(eager=True)
+        )
+    # exact-set filter (positive weights): per walker keep nodes strictly
+    # closer than its target plus the target row; walkers that never
+    # reached the target drop out here
+    bt = (state.filter(F.col("id") == target)
+          .select("wid", F.col("dist").alias("_bt")))
+    dist = (state.join(F.broadcast(bt), "wid")
+            .filter((F.col("dist") < F.col("_bt")) | (F.col("id") == target))
+            .select("wid", "id", "dist").localCheckpoint(eager=True))
+    du = dist.select("wid", F.col("id").alias(SRC), F.col("dist").alias("_du"))
+    dv = dist.select("wid", F.col("id").alias(DST), F.col("dist").alias("_dv"))
+    preds = (
+        edges.join(du, SRC).join(dv, ["wid", DST])
+        .join(masks, "wid")
+        .filter(~F.array_contains(F.col("exe"), edge_key))
+        .filter(F.abs(F.col("_du") + F.col(W) - F.col("_dv")) < 1e-9)
+        .groupBy("wid", F.col(DST).alias("id"))
+        .agg(F.min(SRC).alias("pred"))
+    )
+    pmap = preds.select("wid", F.col("id").alias("_cur"),
+                        "pred").localCheckpoint(eager=True)
+    spur_map = masks.select("wid", F.col("spur").alias("_spur"))
+    walk = (dist.filter(F.col("id") == target)
+            .select("wid", F.col("dist").alias("total_cost"),
+                    F.col("id").alias("_cur"), F.array("id").alias("node_ids"))
+            .localCheckpoint(eager=True))
+    done = []
+    for _ in range(cfg.max_iterations):
+        if walk.isEmpty():
+            break
+        walk = (
+            walk.join(pmap, ["wid", "_cur"])
+            .select("wid", "total_cost", F.col("pred").alias("_cur"),
+                    F.concat(F.array("pred"), "node_ids").alias("node_ids"))
+            .join(spur_map, "wid")
+            .localCheckpoint(eager=True)
+        )
+        done.append(walk.filter(F.col("_cur") == F.col("_spur"))
+                    .select("wid", "total_cost", "node_ids"))
+        walk = walk.filter(F.col("_cur") != F.col("_spur")).drop("_spur")
+    if not done:
+        return {}
+    arrived = done[0]
+    for d in done[1:]:
+        arrived = arrived.unionByName(d)
+    costs = (
+        arrived.select("wid", F.posexplode("node_ids").alias("pos", "_n"))
+        .join(dist.select("wid", F.col("id").alias("_n"),
+                          F.col("dist").alias("_nd")), ["wid", "_n"])
+        .groupBy("wid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_nd"))).alias("_pc"))
+        .select("wid", F.col("_pc._nd").alias("costs"))
+    )
+    rows = arrived.join(costs, "wid").collect()  # ONE collect per k-iteration
+    return {int(r["wid"]): (float(r["total_cost"]), list(r["node_ids"]),
+                            [float(c) for c in r["costs"]]) for r in rows}
+
+
 def yens(graph: SparkGraph, source: int, target: int, k: int = 3,
          config: PathConfig | None = None) -> DataFrame:
     """Yen's K shortest loopless paths (paths/yens/Yens.java:39).
 
-    Driver loop over spur nodes of already-found paths (bounded by
-    k * path length); each candidate is one Dijkstra on a filtered edge
-    set -- the standard spur/root decomposition, with the graph work fully
-    distributed per candidate. Returns (index, source, target, total_cost,
-    node_ids) for up to k paths, ordered by cost.
+    Spur/root decomposition with the classic candidate queue; the spur
+    Dijkstras of each k-iteration run BATCHED as one multi-source,
+    per-walker-masked job (_multi_spur_dijkstra) in the distributed
+    regime, or through the single-task subcritical kernel below the
+    LOCAL_PATHS_MAX_EDGES gate (where per-spur calls are one task each and
+    batching would buy nothing). Returns (index, source, target,
+    total_cost, node_ids) for up to k paths, ordered by cost.
     """
     cfg = config or PathConfig()
     first = dijkstra(graph, source, target, cfg).collect()
@@ -440,8 +554,29 @@ def yens(graph: SparkGraph, source: int, target: int, k: int = 3,
               list(first[0]["costs"]))]
     candidates: list[tuple[float, list[int], list[float]]] = []
     edges_base = graph.aggregated_edges("MIN").localCheckpoint(eager=True)
+    n_edges = edges_base.count()
+    subcritical = should_run_local(
+        n_edges, (LOCAL_PATHS_MAX_EDGES if cfg.small_graph_edges is None
+                  else cfg.small_graph_edges), None)
+    batched = not subcritical
+    if batched:
+        wmin = edges_base.agg(F.min(W)).collect()[0][0]
+        batched = wmin is not None and wmin > 0
+
+    def merge_candidate(i, root, costs_prev, spur_result):
+        total_cost_sp, nids, costs_sp = spur_result
+        root_cost = float(costs_prev[i])
+        total = root_cost + total_cost_sp
+        full = root[:-1] + list(nids)
+        full_costs = ([float(c) for c in costs_prev[:i]]
+                      + [root_cost + float(c) for c in costs_sp])
+        if (full not in [c[1] for c in candidates]
+                and full not in [p for _, p, _ in paths]):
+            candidates.append((total, full, full_costs))
+
     for _ in range(1, k):
         cost_prev, p_prev, costs_prev = paths[-1]
+        walkers = []
         for i in range(len(p_prev) - 1):
             spur, root = p_prev[i], p_prev[:i + 1]
             root_set = set(root[:-1])
@@ -449,26 +584,32 @@ def yens(graph: SparkGraph, source: int, target: int, k: int = 3,
             # all root nodes except the spur (loopless constraint)
             removed = {(p[i], p[i + 1]) for c, p, _ in paths
                        if len(p) > i + 1 and p[:i + 1] == root}
-            cond = F.lit(False)
-            for (u, v) in removed:
-                cond = cond | ((F.col(SRC) == u) & (F.col(DST) == v))
-            e = edges_base.filter(~cond)
-            if root_set:
-                e = e.filter(~F.col(SRC).isin(list(root_set))
-                             & ~F.col(DST).isin(list(root_set)))
-            sub = SparkGraph(nodes=graph.nodes, edges=e)
-            spur_rows = dijkstra(sub, spur, target, cfg).collect()
-            if not spur_rows:
-                continue
-            root_cost = float(costs_prev[i])
-            total = root_cost + spur_rows[0]["total_cost"]
-            full = root[:-1] + list(spur_rows[0]["node_ids"])
-            full_costs = ([float(c) for c in costs_prev[:i]]
-                          + [root_cost + float(c)
-                             for c in spur_rows[0]["costs"]])
-            if (full not in [c[1] for c in candidates]
-                    and full not in [p for _, p, _ in paths]):
-                candidates.append((total, full, full_costs))
+            walkers.append({"wid": i, "spur": spur, "exn": sorted(root_set),
+                            "exe": sorted(removed), "root": root})
+        if batched:
+            res = _multi_spur_dijkstra(edges_base, walkers, target, cfg)
+            for w in walkers:
+                if w["wid"] in res:
+                    merge_candidate(w["wid"], w["root"], costs_prev,
+                                    res[w["wid"]])
+        else:
+            for w in walkers:
+                cond = F.lit(False)
+                for (u, v) in w["exe"]:
+                    cond = cond | ((F.col(SRC) == u) & (F.col(DST) == v))
+                e = edges_base.filter(~cond)
+                if w["exn"]:
+                    e = e.filter(~F.col(SRC).isin(list(w["exn"]))
+                                 & ~F.col(DST).isin(list(w["exn"])))
+                sub = SparkGraph(nodes=graph.nodes, edges=e)
+                spur_rows = dijkstra(sub, w["spur"], target, cfg).collect()
+                if not spur_rows:
+                    continue
+                merge_candidate(
+                    w["wid"], w["root"], costs_prev,
+                    (float(spur_rows[0]["total_cost"]),
+                     list(spur_rows[0]["node_ids"]),
+                     [float(c) for c in spur_rows[0]["costs"]]))
         if not candidates:
             break
         candidates.sort(key=lambda t: (t[0], t[1]))

@@ -209,3 +209,50 @@ def test_bellman_ford_all_cycles_drops_unfinished_walkers(spark):
     assert bellman_ford_all_negative_cycles(g, 0, max_walk=2).count() == 0
     full = bellman_ford_all_negative_cycles(g, 0).collect()
     assert len(full) == 1 and list(full[0].node_ids) == [1, 2, 3, 4, 1]
+
+def test_yens_batched_multi_spur_parity(spark):
+    """Round-4 verdict #5: in the distributed regime every k-iteration's
+    spur candidates run as ONE multi-source masked Dijkstra
+    (_multi_spur_dijkstra) instead of one collected Dijkstra per spur.
+    Parity: the batched path (small_graph_edges=0 forces distributed)
+    returns exactly the subcritical-kernel answer on Yen's classic
+    example AND on a larger graph with unique weights; and dijkstra() is
+    invoked only once (the initial path), proving the spur loop never
+    falls back to per-spur jobs."""
+    from neo4j_graph_data_science_spark.operators import paths as pmod
+
+    edges = [(0, 1, 3.0), (0, 2, 2.0), (1, 3, 4.0), (2, 1, 1.0),
+             (2, 3, 2.0), (2, 4, 3.0), (3, 4, 2.0), (3, 5, 1.0), (4, 5, 2.0)]
+    g = from_edge_list(spark, edges, n_nodes=6)
+    base = [(r["total_cost"], list(r["node_ids"]))
+            for r in yens(g, 0, 5, k=3).collect()]
+
+    calls = {"n": 0}
+    orig = pmod.dijkstra
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    pmod.dijkstra = counting
+    try:
+        cfg = pmod.PathConfig(small_graph_edges=0)
+        got = [(r["total_cost"], list(r["node_ids"]))
+               for r in pmod.yens(g, 0, 5, k=3, config=cfg).collect()]
+    finally:
+        pmod.dijkstra = orig
+    assert got == base
+    assert calls["n"] == 1  # only the initial shortest path
+
+    # larger graph, unique weights, deeper k: exclusion masks must bite
+    big = [(i, (i * 7 + 3) % 40, 1.0 + ((i * 13) % 17) / 16.0)
+           for i in range(40)] + \
+          [(i, (i + 1) % 40, 1.0 + ((i * 5) % 11) / 8.0) for i in range(40)]
+    g2 = from_edge_list(spark, big, n_nodes=40)
+    base2 = [(round(r["total_cost"], 9), list(r["node_ids"]))
+             for r in yens(g2, 0, 23, k=4).collect()]
+    got2 = [(round(r["total_cost"], 9), list(r["node_ids"]))
+            for r in yens(g2, 0, 23, k=4,
+                          config=pmod.PathConfig(small_graph_edges=0)).collect()]
+    assert got2 == base2
+    assert len(got2) == 4
