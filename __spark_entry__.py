@@ -2368,6 +2368,162 @@ def q_graphsage_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_weights(tag: str, rows: int, cols: int):
+    """md5-pinned weight matrix, replayable in DuckDB:
+    W[i][j] = int(md5('{tag}:i:j')[:15], 16) / 2^60 - 0.5."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array([
+        [int(hashlib.md5(f"{tag}:{i}:{j}".encode()).hexdigest()[:15], 16)
+         / float(1 << 60) - 0.5
+         for j in range(cols)] for i in range(rows)
+    ])
+
+
+def _graphsage_infer(spark: SparkSession, sf_dir: str, pool: bool) -> DataFrame:
+    """GraphSAGE INFERENCE with md5-pinned weights (round-4 verdict #6):
+    training is stochastic but serving is a deterministic two-layer
+    forward pass (graphsage_predict: JVM posexplode mean/max aggregation
+    + Arrow-matmul affine), so fixing the weights makes the whole serving
+    path value-verifiable against a DuckDB replay. Dims kept small
+    (f=2 -> h=3 -> out=2) so the oracle SQL stays readable."""
+    from neo4j_graph_data_science_spark.operators.graphsage import (
+        GraphSageConfig, graphsage_predict,
+    )
+
+    import numpy as np
+
+    g = _scc_subgraph(spark, sf_dir, include_loop=False)
+    model = {"Ws1": _md5_weights("ws1", 3, 2),
+             "Wn1": _md5_weights("wn1", 3, 2),
+             "Ws2": _md5_weights("ws2", 2, 3),
+             "Wn2": _md5_weights("wn2", 2, 3),
+             "f_dim": 2, "aggregator": "pool" if pool else "mean"}
+    if pool:
+        model["Wp1"] = _md5_weights("wp1", 2, 2)
+        model["bp1"] = np.zeros(2)
+        model["Wp2"] = _md5_weights("wp2", 3, 3)
+        model["bp2"] = np.zeros(3)
+    out = graphsage_predict(g, model, None, GraphSageConfig())
+    return (out.select("id", F.posexplode("embedding").alias("pos", "x"))
+            .select("id", F.col("pos").cast("long").alias("pos"),
+                    F.round("x", 6).alias("x"))
+            .orderBy("id", "pos"))
+
+
+def q_graphsage_infer_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graphsage_infer(spark, sf_dir, pool=False)
+
+
+def q_graphsage_infer_pool_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graphsage_infer(spark, sf_dir, pool=True)
+
+
+def _mdw_sql(name: str, tag: str, rows: int, cols: int) -> str:
+    return f"""{name} AS (
+  SELECT i, j, ('0x' || substr(md5('{tag}:' || i || ':' || j), 1, 15))::BIGINT
+               / 1152921504606846976.0 - 0.5 AS w
+  FROM range({rows}) t1(i), range({cols}) t2(j)
+)"""
+
+
+def _graphsage_infer_sql(pool: bool) -> str:
+    """DuckDB replay of graphsage_predict with the md5-pinned weights:
+    degree features [log1p(deg), 1], undirected-distinct message edges,
+    per-layer neighbor mean (or relu-pool + elementwise max), affine,
+    relu on layer 1, L2 normalize on layer 2."""
+    if pool:
+        m0 = """
+p0 AS (
+  SELECT h.id, w.i AS j, greatest(sum(w.w * h.x), 0.0) AS x
+  FROM h0 h JOIN wp1 w ON w.j = h.j GROUP BY h.id, w.i
+),
+m0 AS (
+  SELECT e.dst AS id, p.j, max(p.x) AS x
+  FROM und e JOIN p0 p ON p.id = e.src GROUP BY e.dst, p.j
+)"""
+        m1 = """
+p1 AS (
+  SELECT h.id, w.i AS j, greatest(sum(w.w * h.x), 0.0) AS x
+  FROM h1 h JOIN wp2 w ON w.j = h.j GROUP BY h.id, w.i
+),
+m1 AS (
+  SELECT e.dst AS id, p.j, max(p.x) AS x
+  FROM und e JOIN p1 p ON p.id = e.src GROUP BY e.dst, p.j
+)"""
+        pool_w = f",\n{_mdw_sql('wp1', 'wp1', 2, 2)},\n{_mdw_sql('wp2', 'wp2', 3, 3)}"
+    else:
+        m0 = """
+m0 AS (
+  SELECT e.dst AS id, h.j, avg(h.x) AS x
+  FROM und e JOIN h0 h ON h.id = e.src GROUP BY e.dst, h.j
+)"""
+        m1 = """
+m1 AS (
+  SELECT e.dst AS id, h.j, avg(h.x) AS x
+  FROM und e JOIN h1 h ON h.id = e.src GROUP BY e.dst, h.j
+)"""
+        pool_w = ""
+    return f"""WITH {_SCC_SUB},
+{_ev_ctes("events_sub")},
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw_edges
+    UNION ALL SELECT dst AS src, src AS dst FROM raw_edges
+  )
+),
+degs AS (
+  SELECT id, count(*)::DOUBLE AS d FROM (
+    SELECT src AS id FROM raw_edges UNION ALL SELECT dst AS id FROM raw_edges
+  ) GROUP BY id
+),
+h0 AS (
+  SELECT n.id, 0 AS j, ln(1 + coalesce(d.d, 0.0)) AS x
+  FROM nodes n LEFT JOIN degs d ON n.id = d.id
+  UNION ALL SELECT n.id, 1 AS j, 1.0 AS x FROM nodes n
+),
+{_mdw_sql('ws1', 'ws1', 3, 2)},
+{_mdw_sql('wn1', 'wn1', 3, 2)},
+{_mdw_sql('ws2', 'ws2', 2, 3)},
+{_mdw_sql('wn2', 'wn2', 2, 3)}{pool_w},
+{m0},
+m0f AS (
+  SELECT h.id, h.j, coalesce(m.x, 0.0) AS x
+  FROM h0 h LEFT JOIN m0 m ON m.id = h.id AND m.j = h.j
+),
+in1 AS (
+  SELECT h.id, h.j, h.x AS hx, m.x AS mx
+  FROM h0 h JOIN m0f m ON m.id = h.id AND m.j = h.j
+),
+z1 AS (
+  SELECT t.id, s.i, sum(s.w * t.hx + n.w * t.mx) AS z
+  FROM in1 t JOIN ws1 s ON s.j = t.j JOIN wn1 n ON n.i = s.i AND n.j = t.j
+  GROUP BY t.id, s.i
+),
+h1 AS (SELECT id, i AS j, greatest(z, 0.0) AS x FROM z1),
+{m1},
+m1f AS (
+  SELECT h.id, h.j, coalesce(m.x, 0.0) AS x
+  FROM h1 h LEFT JOIN m1 m ON m.id = h.id AND m.j = h.j
+),
+in2 AS (
+  SELECT h.id, h.j, h.x AS hx, m.x AS mx
+  FROM h1 h JOIN m1f m ON m.id = h.id AND m.j = h.j
+),
+z2 AS (
+  SELECT t.id, s.i, sum(s.w * t.hx + n.w * t.mx) AS z
+  FROM in2 t JOIN ws2 s ON s.j = t.j JOIN wn2 n ON n.i = s.i AND n.j = t.j
+  GROUP BY t.id, s.i
+),
+nrm AS (SELECT id, sqrt(sum(z * z)) AS nv FROM z2 GROUP BY id)
+SELECT z2.id, z2.i AS pos,
+       round(CASE WHEN nrm.nv > 0 THEN z2.z / nrm.nv ELSE z2.z END, 6) AS x
+FROM z2 JOIN nrm ON nrm.id = z2.id
+ORDER BY z2.id, pos"""
+
+
 def q_nc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node-classification pipeline (degree + PageRank features, logistic
     regression) on the SCC event subgraph; label = has-above-median-degree
@@ -4024,6 +4180,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nc_pipeline_tuned_events_sub": q_nc_pipeline_tuned,
         "leiden_events_sub": q_leiden,
         "louvain_events_sub": q_louvain,
+        "graphsage_infer_md5_events_sub": q_graphsage_infer_md5,
+        "graphsage_infer_pool_md5_events_sub": q_graphsage_infer_pool_md5,
         "graphsage_events_sub": q_graphsage,
         "graphsage_pool_events_sub": q_graphsage_pool,
         "lp_pipeline_events_sub": q_lp_pipeline,
@@ -4063,6 +4221,8 @@ FROM nodes n LEFT JOIN (
         "bf_all_negative_cycles_ring": _bf_all_cycles_sql(),
         "celf_p1_events_sub": _celf_p1_sql(),
         "celf_md5_events_sub": _celf_md5_sql(),
+        "graphsage_infer_md5_events_sub": _graphsage_infer_sql(pool=False),
+        "graphsage_infer_pool_md5_events_sub": _graphsage_infer_sql(pool=True),
         "steiner_events_sub": _steiner_sql(),
         "dfs_events_sub": _dfs_sql(),
         "wcc_events": f"""{_WCC_CLOSURE}

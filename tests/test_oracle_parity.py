@@ -27,6 +27,8 @@ CASES = [
     "bf_negative_cycle_ring",
     "bf_all_negative_cycles_ring",
     "celf_md5_events_sub",
+    "graphsage_infer_md5_events_sub",
+    "graphsage_infer_pool_md5_events_sub",
 ]
 
 
