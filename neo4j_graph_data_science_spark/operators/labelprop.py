@@ -55,6 +55,15 @@ class LabelPropagationConfig:
     # subcritical fast path (plans/local_kernel.py); None -> 2M-edge default,
     # 0 disables. Synchronous semantics are identical.
     small_graph_edges: int | None = None
+    # ENGINE EXTENSION (no GDS counterpart; mirrors PageRankConfig.
+    # initial_ranks): warm-start labels from a previous run's (id, label)
+    # frame for incremental re-runs over growing graphs. LPA has no
+    # unique fixpoint, so unlike WCC this changes WHICH stable labeling
+    # is reached -- the invariant is that a converged labeling re-fed on
+    # an unchanged graph is already stable (re-converges immediately),
+    # and on a grown graph only the delta region re-votes. Nodes missing
+    # from the frame cold-start at their own id.
+    initial_labels: "DataFrame | None" = None
 
 
 def label_propagation(
@@ -91,6 +100,21 @@ def label_propagation(
         )
     else:
         state0 = graph.nodes.select("id", F.col("id").alias("label"))
+    if cfg.initial_labels is not None:
+        if len(cfg.initial_labels.columns) < 2:
+            raise ValueError(
+                "initial_labels must have (id, label) columns; got "
+                f"{cfg.initial_labels.columns}")
+        prev = cfg.initial_labels
+        lcol = "label" if "label" in prev.columns else prev.columns[1]
+        # dedup per id (min is arbitrary-but-deterministic) so duplicate
+        # ids can't duplicate state rows
+        init = (prev.select(F.col(prev.columns[0]).alias("id"),
+                            F.col(lcol).cast("long").alias("_l0"))
+                .groupBy("id").agg(F.min("_l0").alias("_l0")))
+        state0 = (state0.join(init, "id", "left")
+                  .select("id", F.coalesce("_l0", F.col("label"))
+                          .alias("label")))
 
     if should_run_local(n_edges, cfg.small_graph_edges, cfg.checkpoint_dir):
         state, iters, conv, wall = local_label_propagation(

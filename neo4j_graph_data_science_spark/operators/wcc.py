@@ -59,6 +59,16 @@ class WccConfig:
     # subcritical fast path (plans/local_kernel.py); None -> 2M-edge default,
     # 0 disables. Output identical (min-member component ids).
     small_graph_edges: int | None = None
+    # ENGINE EXTENSION (no GDS counterpart; mirrors PageRankConfig.
+    # initial_ranks): warm-start components from a previous run's
+    # (id, component) frame for incremental pipelines over growing edge
+    # sets. Min-propagation's fixpoint is the minimum initial value per
+    # connected component, and a previous run's component id IS the min
+    # member id of a (now-merged-or-equal) component, so the result is
+    # IDENTICAL to a cold start -- labels just arrive pre-propagated, so
+    # only the delta (components merged by new edges) needs supersteps.
+    # Nodes missing from the frame cold-start at their own id.
+    initial_components: "DataFrame | None" = None
 
 
 def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
@@ -76,6 +86,22 @@ def wcc(graph: SparkGraph, config: WccConfig | None = None) -> PregelResult:
         )
     else:
         state0 = graph.nodes.select("id", F.col("id").alias("comp"))
+    if cfg.initial_components is not None:
+        if len(cfg.initial_components.columns) < 2:
+            raise ValueError(
+                "initial_components must have (id, component) columns; "
+                f"got {cfg.initial_components.columns}")
+        prev = cfg.initial_components
+        ccol = ("component" if "component" in prev.columns
+                else prev.columns[1])
+        # dedup per id (min matches the fixpoint semantics) so duplicate
+        # ids can't duplicate state rows
+        init = (prev.select(F.col(prev.columns[0]).alias("id"),
+                            F.col(ccol).cast("long").alias("_c0"))
+                .groupBy("id").agg(F.min("_c0").alias("_c0")))
+        state0 = (state0.join(init, "id", "left")
+                  .select("id", F.coalesce("_c0", F.col("comp"))
+                          .alias("comp")))
 
     if should_run_local(n_edges, cfg.small_graph_edges, cfg.checkpoint_dir):
         state, iters, wall = local_wcc(eset, state0)

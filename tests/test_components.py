@@ -138,3 +138,71 @@ def test_wcc_two_phase_options(spark):
     want = {r["id"]: r["component"] for r in wcc(
         g, WccConfig(consecutive_ids=True)).state.collect()}
     assert got == want
+
+
+def test_wcc_warm_start_same_result_fewer_supersteps(spark):
+    """Round-4 verdict #9: warm-starting WCC from a previous run's
+    components (engine extension mirroring PageRank initial_ranks) is
+    fixpoint-identical on the grown graph and needs fewer supersteps;
+    duplicate ids in the warm frame are deduped; a 1-column frame raises."""
+    import pytest
+
+    from neo4j_graph_data_science_spark.catalog import from_edge_list
+    from neo4j_graph_data_science_spark.operators.wcc import WccConfig, wcc
+
+    n = 64
+    chain1 = [(i, i + 1) for i in range(n - 1)]
+    chain2 = [(100 + i, 100 + i + 1) for i in range(n - 1)]
+    g1 = from_edge_list(spark, chain1 + chain2,
+                        node_ids=list(range(n)) + [100 + i for i in range(n)])
+    cold1 = wcc(g1, WccConfig(small_graph_edges=0))
+    prev = cold1.state  # (id, component)
+
+    g2 = from_edge_list(spark, chain1 + chain2 + [(n - 1, 100)],
+                        node_ids=list(range(n)) + [100 + i for i in range(n)])
+    cold2 = wcc(g2, WccConfig(small_graph_edges=0))
+    warm = wcc(g2, WccConfig(small_graph_edges=0, initial_components=prev))
+    c = {r.id: r.component for r in cold2.state.collect()}
+    w = {r.id: r.component for r in warm.state.collect()}
+    assert c == w
+    assert all(v == 0 for v in w.values())  # merged into one component
+    assert warm.iterations < cold2.iterations
+
+    # duplicate warm ids: one state row per node, same fixpoint
+    warm_dup = wcc(g2, WccConfig(small_graph_edges=0,
+                                 initial_components=prev.union(prev)))
+    rows = warm_dup.state.collect()
+    assert len(rows) == 2 * n
+    assert {r.id: r.component for r in rows} == c
+
+    with pytest.raises(ValueError, match="initial_components"):
+        wcc(g2, WccConfig(initial_components=prev.select("id")))
+
+
+def test_lpa_warm_start_stable_labels_reconverge_immediately(spark):
+    """A converged LPA labeling re-fed as initial_labels on the unchanged
+    graph is already stable: one superstep confirms convergence and the
+    labels are identical."""
+    from neo4j_graph_data_science_spark.catalog import from_edge_list
+    from neo4j_graph_data_science_spark.operators.labelprop import (
+        LabelPropagationConfig, label_propagation,
+    )
+
+    size = 8
+    edges = []
+    for i in range(size):
+        for j in range(i + 1, size):
+            edges.append((i, j))
+            edges.append((size + i, size + j))
+    edges.append((0, size))
+    g = from_edge_list(spark, edges, n_nodes=2 * size)
+    cold = label_propagation(
+        g, LabelPropagationConfig(max_iterations=30, small_graph_edges=0))
+    assert cold.converged
+    warm = label_propagation(
+        g, LabelPropagationConfig(max_iterations=30, small_graph_edges=0,
+                                  initial_labels=cold.state))
+    assert warm.converged
+    assert warm.iterations == 1
+    assert ({r.id: r.label for r in warm.state.collect()}
+            == {r.id: r.label for r in cold.state.collect()})
