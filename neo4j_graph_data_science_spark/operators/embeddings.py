@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -272,18 +273,148 @@ class Node2VecConfig:
     seed: int = 42
     return_factor: float = 1.0    # p (node2vec second-order bias)
     in_out_factor: float = 1.0    # q
+    # --- native SGNS surface (Node2VecBaseConfig.java:32-77 defaults),
+    # honored by trainer="native"; spark.ml Word2Vec fixes these
+    # internally (negative sampling 5, 1e-3-style subsampling) ----------
+    negative_sampling_rate: int = 5          # negatives per positive
+    positive_sampling_factor: float = 0.001  # frequent-occurrence subsample
+    negative_sampling_exponent: float = 0.75 # neg distribution ~ freq^exp
+    initial_learning_rate: float = 0.025
+    min_learning_rate: float = 0.0001
+    embedding_initializer: str = "normalized"  # or "uniform"
+    # "word2vec": spark.ml's distributed SGD (the at-scale path).
+    # "native": reference-parameter SGNS numpy kernel over the collected
+    # walk corpus (the reference is itself a single-JVM array trainer) --
+    # guarded by max_corpus_size.
+    trainer: str = "word2vec"
+    max_corpus_size: int = 20_000_000        # walk positions pulled to driver
+
+
+def _positive_keep_probs(freq_counts: "np.ndarray", sample_count: int,
+                         factor: float) -> "np.ndarray":
+    """Per-node positive-sample keep probability
+    (RandomWalkProbabilitiesBuilder.java:92):
+    (sqrt(f / factor) + 1) * (factor / f) with f the node's occurrence
+    fraction over the walk corpus; >= 1 means always kept."""
+    f = freq_counts.astype(float) / max(sample_count, 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = (np.sqrt(f / factor) + 1.0) * (factor / f)
+    p[~np.isfinite(p)] = 1.0   # zero-frequency nodes never sampled anyway
+    return p
+
+
+def _negative_cumdist(freq_counts: "np.ndarray",
+                      exponent: float) -> "np.ndarray":
+    """Cumulative negative-sampling distribution ~ freq^exponent
+    (RandomWalkProbabilitiesBuilder.java:100-110,
+    NegativeSampleProducer.java:41 draws by binary search over it)."""
+    return np.cumsum(np.power(freq_counts.astype(float), exponent))
+
+
+def _sgns_train(corpus: list[list[int]], cfg: Node2VecConfig) -> dict:
+    """Reference-semantics skip-gram-negative-sampling over the walk
+    corpus (Node2VecModel.java:122 train loop, TrainingTask.java:63,
+    PositiveSampleProducer.java window/subsampling): frequency-based
+    positive subsampling, freq^exponent negative draws,
+    negative_sampling_rate negatives per positive, linear learning-rate
+    decay across iterations, separate center/context tables with the
+    center table returned, asymmetric window (prefix ceil((w-1)/2),
+    postfix (w-1)//2).
+
+    Documented divergence (engine-class, quality-pinned by tests):
+    updates apply in vectorized numpy minibatches instead of per-sample
+    sequential SGD, and draws come from numpy's seeded generator instead
+    of per-task SplittableRandoms."""
+    ids = sorted({n for walk in corpus for n in walk})
+    pos_of = {n: i for i, n in enumerate(ids)}
+    n = len(ids)
+    if n == 0:
+        return {}
+    counts = np.zeros(n, dtype="int64")
+    for walk in corpus:
+        for w in walk:
+            counts[pos_of[w]] += 1
+    sample_count = int(counts.sum())
+    keep = _positive_keep_probs(counts, sample_count,
+                                cfg.positive_sampling_factor)
+    cum = _negative_cumdist(counts, cfg.negative_sampling_exponent)
+    rng = np.random.default_rng(cfg.seed)
+    d = cfg.embedding_dim
+    bound = 1.0 if cfg.embedding_initializer == "uniform" else 0.5 / d
+    center = rng.uniform(-bound, bound, (n, d))
+    context = rng.uniform(-bound, bound, (n, d))
+    prefix = -(-(cfg.window_size - 1) // 2)
+    postfix = (cfg.window_size - 1) // 2
+
+    def pairs_for_iteration():
+        cs, xs = [], []
+        for walk in corpus:
+            w = np.array([pos_of[x] for x in walk], dtype="int64")
+            kept = w[rng.random(len(w)) < keep[w]]
+            if len(kept) < 2:
+                continue
+            for c in range(len(kept)):
+                lo, hi = max(0, c - prefix), min(len(kept), c + postfix + 1)
+                for x in range(lo, hi):
+                    if x != c:
+                        cs.append(kept[c])
+                        xs.append(kept[x])
+        return np.array(cs, dtype="int64"), np.array(xs, dtype="int64")
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+
+    lr_alpha = ((cfg.initial_learning_rate - cfg.min_learning_rate)
+                / max(cfg.iterations, 1))
+    chunk = 8192
+    for it in range(cfg.iterations):
+        lr = max(cfg.min_learning_rate,
+                 cfg.initial_learning_rate - it * lr_alpha)
+        cs, xs = pairs_for_iteration()
+        for s in range(0, len(cs), chunk):
+            c, x = cs[s:s + chunk], xs[s:s + chunk]
+            # positive step: push sigma(center . context) toward 1
+            g = 1.0 - sigmoid((center[c] * context[x]).sum(axis=1))
+            dc = lr * g[:, None] * context[x]
+            dx = lr * g[:, None] * center[c]
+            np.add.at(center, c, dc)
+            np.add.at(context, x, dx)
+            # negative_sampling_rate negatives per positive, drawn from
+            # the freq^exponent distribution (searchsorted == the
+            # reference's binarySearch over the cumulative array)
+            draws = rng.integers(0, int(cum[-1]),
+                                 size=(len(c), cfg.negative_sampling_rate))
+            negs = np.searchsorted(cum, draws, side="right")
+            for q in range(cfg.negative_sampling_rate):
+                nn = negs[:, q]
+                sg = sigmoid((center[c] * context[nn]).sum(axis=1))
+                np.add.at(center, c, -lr * sg[:, None] * context[nn])
+                np.add.at(context, nn, -lr * sg[:, None] * center[c])
+    return {ids[i]: center[i] for i in range(n)}
 
 
 def node2vec(graph: SparkGraph, config: Node2VecConfig | None = None) -> DataFrame:
     """(id, embedding: array<double>): full node2vec = hash-deterministic
     walks (p/q second-order bias via return_factor/in_out_factor; GDS
-    default p=q=1 is the uniform fast path) fed into Spark ML's Word2Vec
-    (skip-gram with negative sampling / hierarchical softmax) -- the SGNS
-    training stage of embeddings/node2vec/Node2Vec.java:39, which round 1
-    left unimplemented. Training is distributed by Word2Vec's own
-    partitioned SGD; exact float values vary with scheduling, so tests
-    assert embedding QUALITY (same-community similarity) not exact values,
-    like the reference's own node2vec tests."""
+    default p=q=1 is the uniform fast path) fed into SGNS training --
+    the training stage of embeddings/node2vec/Node2Vec.java:39.
+
+    Two trainers:
+    * ``trainer="word2vec"`` (default): Spark ML's Word2Vec, distributed
+      by its own partitioned SGD -- the at-scale path. Its negative-
+      sampling/subsampling scheme is internal, so the native-parameter
+      knobs are ignored here.
+    * ``trainer="native"``: the reference's own parameter surface
+      (negativeSamplingRate / positiveSamplingFactor /
+      negativeSamplingExponent / initial+min learning rate /
+      embeddingInitializer, Node2VecBaseConfig.java:32-77) via the
+      _sgns_train numpy kernel over the collected corpus (the reference
+      is likewise a single-process array trainer), guarded by
+      max_corpus_size.
+
+    Exact float values vary with scheduling/backend, so tests assert
+    embedding QUALITY (same-community similarity), like the reference's
+    own node2vec tests."""
     from pyspark.ml.feature import Word2Vec
 
     cfg = config or Node2VecConfig()
@@ -291,6 +422,30 @@ def node2vec(graph: SparkGraph, config: Node2VecConfig | None = None) -> DataFra
         walk_length=cfg.walk_length, walks_per_node=cfg.walks_per_node,
         seed=cfg.seed, return_factor=cfg.return_factor,
         in_out_factor=cfg.in_out_factor))
+    if cfg.trainer == "native":
+        spark = graph.nodes.sparkSession
+        n_positions = walks.count()
+        if n_positions > cfg.max_corpus_size:
+            raise ValueError(
+                f"node2vec native trainer: walk corpus has {n_positions} "
+                f"positions (> max_corpus_size={cfg.max_corpus_size}); "
+                "use trainer='word2vec' (distributed) or raise the guard")
+        sent_rows = (
+            walks.groupBy("walk_id")
+            .agg(F.array_sort(F.collect_list(F.struct("step", "node")))
+                 .alias("_sn"))
+            .select(F.col("_sn.node").alias("sent")).collect()
+        )
+        emb = _sgns_train([list(r["sent"]) for r in sent_rows], cfg)
+        if not emb:
+            return spark.createDataFrame(
+                [], "id long, embedding array<double>")
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in emb.items()],
+            "id long, embedding array<double>")
+    if cfg.trainer != "word2vec":
+        raise ValueError(f"unknown trainer {cfg.trainer!r}: expected "
+                         "'word2vec' or 'native'")
     sents = (
         walks.groupBy("walk_id")
         .agg(F.array_sort(F.collect_list(F.struct("step", "node"))).alias("_sn"))

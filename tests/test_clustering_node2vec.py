@@ -81,3 +81,67 @@ def test_node2vec_community_similarity(spark):
         for j in range(i + 1, 10):
             (same if (i < 5) == (j < 5) else cross).append(cos(emb[i], emb[j]))
     assert sum(same) / len(same) > sum(cross) / len(cross)
+
+
+def test_node2vec_native_sgns_parameter_surface(spark):
+    """Round-4 verdict #7: the native trainer exposes the reference's SGNS
+    parameter surface (Node2VecBaseConfig.java:32-77). Formula parity for
+    the sampling machinery + the same clique-separation quality bar as
+    the word2vec backend, at matched reference-default parameters."""
+    import numpy as np
+
+    from neo4j_graph_data_science_spark.operators.embeddings import (
+        _negative_cumdist, _positive_keep_probs,
+    )
+
+    # keep-prob formula (RandomWalkProbabilitiesBuilder.java:92)
+    counts = np.array([50, 10, 1], dtype="int64")
+    probs = _positive_keep_probs(counts, 61, 0.001)
+    for c, p in zip(counts, probs):
+        f = c / 61
+        expected = (np.sqrt(f / 0.001) + 1) * (0.001 / f)
+        assert abs(p - expected) < 1e-12
+    assert probs[0] < probs[1] < probs[2]  # frequent nodes kept less
+
+    # negative distribution ~ freq^0.75, cumulative (binary-search form)
+    cum = _negative_cumdist(counts, 0.75)
+    assert cum[-1] == np.sum(counts.astype(float) ** 0.75)
+    assert np.all(np.diff(cum) > 0)
+
+    # quality at reference defaults (negative_sampling_rate=5, psf=0.001,
+    # exponent=0.75, lr 0.025 -> 1e-4, NORMALIZED init)
+    k1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k2 = [(a + 5, b + 5) for a, b in k1]
+    g = from_edge_list(spark, k1 + k2 + [(4, 5)], n_nodes=10)
+    emb = {r["id"]: r["embedding"]
+           for r in node2vec(g, Node2VecConfig(
+               embedding_dim=8, walk_length=12, walks_per_node=20,
+               iterations=4, trainer="native")).collect()}
+    assert len(emb) == 10
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb + 1e-12)
+
+    same, cross = [], []
+    for i in range(10):
+        for j in range(i + 1, 10):
+            (same if (i < 5) == (j < 5) else cross).append(cos(emb[i], emb[j]))
+    assert sum(same) / len(same) > sum(cross) / len(cross)
+
+    # determinism: same seed -> identical embeddings
+    emb2 = {r["id"]: r["embedding"]
+            for r in node2vec(g, Node2VecConfig(
+                embedding_dim=8, walk_length=12, walks_per_node=20,
+                iterations=4, trainer="native")).collect()}
+    assert all(np.allclose(emb[i], emb2[i]) for i in emb)
+
+    # corpus guard + unknown trainer
+    import pytest
+
+    with pytest.raises(ValueError, match="max_corpus_size"):
+        node2vec(g, Node2VecConfig(trainer="native", max_corpus_size=3))
+    with pytest.raises(ValueError, match="unknown trainer"):
+        node2vec(g, Node2VecConfig(trainer="bogus"))
