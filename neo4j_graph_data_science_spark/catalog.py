@@ -365,10 +365,21 @@ class GraphCatalog:
         tbl = f"{name}_edges_bucketed"
         props = dict(graph.graph_props)
         src_edges = graph.edges
+        out_orientation = graph.orientation
         if aggregation is not None and Aggregation(aggregation) != Aggregation.NONE:
             a = Aggregation(aggregation)
+            # aggregated_edges APPLIES the graph's orientation (UNDIRECTED
+            # mirrors, REVERSE flips), so the stored rows are already
+            # oriented -- the projected graph must be NATURAL or every
+            # later use would re-apply the orientation (double-mirror /
+            # double-flip). Type identity is collapsed by the (src, dst)
+            # aggregation, exactly like a GDS projection with an
+            # aggregation across relationship types: the stored rel_type
+            # is the synthetic 'REL', and per-type filtering on the
+            # projected graph is not meaningful.
             src_edges = graph.aggregated_edges(a).select(
                 SRC, DST, F.lit("REL").alias(REL), W)
+            out_orientation = Orientation.NATURAL
             props["bucketed_aggregation"] = a.value
         edges = write_bucketed_edges(src_edges, tbl, buckets=buckets)
         props["bucketed_table"] = tbl
@@ -378,7 +389,7 @@ class GraphCatalog:
             write_bucketed_edges(src_edges, inv_tbl, buckets=buckets,
                                  by_dst=True)
             props["inverse_bucketed_table"] = inv_tbl
-        g = SparkGraph(graph.nodes, edges, graph.id_map, graph.orientation,
+        g = SparkGraph(graph.nodes, edges, graph.id_map, out_orientation,
                        name, graph_props=props)
         self._graphs[name] = g
         return g

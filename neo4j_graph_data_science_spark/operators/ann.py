@@ -139,11 +139,14 @@ def _probe_dim(corpus: DataFrame, vec_col: str) -> int | None:
     NULL or ragged FIRST row, which a bare ``len(first()[0])`` is not.
     Returns None when no non-null vector exists.
 
-    NULL rows are filtered BEFORE the mode aggregate rather than relying
-    on size(NULL)=NULL: under spark.sql.ansi.enabled=false (legacy
-    sizeOfNull) size(NULL) is -1, and a NULL-plurality corpus would
-    otherwise yield modal dim -1 and silently drop every valid vector."""
-    row = (corpus.filter(F.col(vec_col).isNotNull())
+    NULL and EMPTY rows are filtered BEFORE the mode aggregate rather
+    than relying on size(NULL)=NULL: under spark.sql.ansi.enabled=false
+    (legacy sizeOfNull) size(NULL) is -1, and a NULL-plurality corpus
+    would otherwise yield modal dim -1; likewise an empty-array
+    plurality (failed upstream featurization) would yield modal dim 0 --
+    either way silently dropping every valid vector."""
+    row = (corpus.filter(F.col(vec_col).isNotNull()
+                         & (F.size(F.col(vec_col)) > 0))
            .agg(F.mode(F.size(F.col(vec_col)))).collect()[0])
     if row[0] is None or int(row[0]) <= 0:
         return None

@@ -108,12 +108,26 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
     agg_mode = "SUM" if cfg.weighted else "COUNT"
     # durable bucketed projection (project_bucketed(aggregation=...)):
     # edges already collapsed + hash-by-src + sorted on disk, so the whole
-    # in-memory projection below degrades to a column-pruned persist --
-    # no re-repartition, no re-sort (round-4 verdict #4), and the loop
-    # runs at the bucket width so the state exchange co-locates.
+    # in-memory projection degrades to a column-pruned persist -- no
+    # re-repartition, no re-sort (round-4 verdict #4), and the loop runs
+    # at the bucket width so the state exchange co-locates.
     bucket_width = bucketed_layout(graph, agg_mode)
-    agg = register_cache(graph.aggregated_edges(agg_mode).persist())
-    n_edges = agg.count()
+    if bucket_width is not None and cfg.partitions in (None, bucket_width):
+        # the persist MUST happen inside prepare_edges (pre_partitioned
+        # pins autoBucketedScan off + the legacy sort-order conf on at
+        # cache-compile time); persisting the raw scan here first would
+        # freeze a cache compiled under default confs, without the hash
+        # layout -- silently re-introducing the per-superstep Exchange.
+        # The returned cached frame then serves degrees/base too.
+        agg = prepare_edges(graph.aggregated_edges(agg_mode), bucket_width,
+                            pre_partitioned=True)
+        n_edges = agg.count()   # cached; one cheap job
+        parts = bucket_width
+    else:
+        bucket_width = None
+        agg = register_cache(graph.aggregated_edges(agg_mode).persist())
+        n_edges = agg.count()
+        parts = None
     deg = _out_degrees(agg)
     nodes = graph.nodes.select("id")
 
@@ -162,14 +176,14 @@ def page_rank(graph: SparkGraph, config: PageRankConfig | None = None) -> Pregel
                       "wall_s": round(wall, 4)}],
         )
 
-    parts = (cfg.partitions or bucket_width
-             or auto_partitions(n_edges, agg.sparkSession))
-    edges = prepare_edges(
-        agg, parts, pre_partitioned=(bucket_width is not None
-                                     and parts == bucket_width))
+    if bucket_width is not None:
+        edges = agg   # already the prepared (pruned, persisted) frame
+    else:
+        parts = cfg.partitions or auto_partitions(n_edges, agg.sparkSession)
+        edges = prepare_edges(agg, parts)
     # loop shuffles run at the resolved edge width (auto-sized when None)
     # so the reduce granularity matches the persisted edge blocks
-    loop_parts = parts if parts else edges.rdd.getNumPartitions()
+    loop_parts = parts
 
     # state: (id, rank, alpha, out_deg, contrib = rank/out_deg)
     state0 = (

@@ -218,6 +218,21 @@ class _BasePipeline:
         return register_cache(out.persist())
 
 
+def _forest_kwargs(p: dict) -> dict:
+    """Reference-named tree hyperparameters -> spark.ml kwargs, shared by
+    the classifier and regressor factories so the mapping can't drift:
+    max_depth, num_trees (numberOfDecisionTrees), min_split_size (->
+    minInstancesPerNode, the closest spark.ml knob)."""
+    kw = {}
+    if "max_depth" in p:
+        kw["maxDepth"] = int(p["max_depth"])
+    if "num_trees" in p:
+        kw["numTrees"] = int(p["num_trees"])
+    if "min_split_size" in p:
+        kw["minInstancesPerNode"] = int(p["min_split_size"])
+    return kw
+
+
 def _make_classifier(method: str, seed: int, data: DataFrame,
                      mlp_hidden_layers: tuple[int, ...] = (16,),
                      params: dict | None = None):
@@ -241,15 +256,8 @@ def _make_classifier(method: str, seed: int, data: DataFrame,
             maxIter=int(p.get("max_epochs", 50)),
             regParam=float(p.get("penalty", 0.0)))
     if method == "random_forest":
-        kw = {}
-        if "max_depth" in p:
-            kw["maxDepth"] = int(p["max_depth"])
-        if "num_trees" in p:
-            kw["numTrees"] = int(p["num_trees"])
-        if "min_split_size" in p:
-            kw["minInstancesPerNode"] = int(p["min_split_size"])
         return RandomForestClassifier(featuresCol=_FEAT, labelCol="label",
-                                      seed=seed, **kw)
+                                      seed=seed, **_forest_kwargs(p))
     if method == "mlp":
         # spark.ml's MLP wants the full layer spec: probe input width from
         # one row, class count from the labels (0..k-1 contiguous required)
@@ -377,14 +385,9 @@ class NodeRegressionPipeline(_BasePipeline):
                     maxIter=int(p.get("max_epochs", 50)),
                     regParam=float(p.get("penalty", 0.0)))
             if m == "random_forest":
-                kw = {}
-                if "max_depth" in p:
-                    kw["maxDepth"] = int(p["max_depth"])
-                if "num_trees" in p:
-                    kw["numTrees"] = int(p["num_trees"])
                 return RandomForestRegressor(featuresCol=_FEAT,
                                              labelCol="target", seed=seed,
-                                             **kw)
+                                             **_forest_kwargs(p))
             raise ValueError(
                 f"unknown method {m!r}: expected linear_regression "
                 "or random_forest")

@@ -30,6 +30,7 @@ Scale notes (10^12 turns / 10^9+ edges):
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -116,6 +117,10 @@ class PregelResult:
 # graphs keep one wave and huge graphs don't drown the scheduler.
 EDGE_ROWS_PER_PARTITION = 400_000
 
+# serializes the pinned-conf cache compilation in prepare_edges'
+# pre-partitioned branch (session confs are global mutable state)
+_BUCKETED_CONF_LOCK = threading.Lock()
+
 
 def auto_partitions(n_edges: int, spark: SparkSession) -> int:
     cores = spark.sparkContext.defaultParallelism
@@ -185,7 +190,10 @@ def prepare_edges(edges: DataFrame, partitions: int | None = None,
         e.count()  # materialize so every superstep reuses the same blocks
         return e
     # pre-partitioned (bucketed-table) path: two confs pin the scan plan
-    # that gets frozen into the cache at persist-time compilation:
+    # that gets frozen into the cache at persist-time compilation, under
+    # a module lock so concurrent operator calls in a shared session
+    # can't compile unrelated plans inside the toggled window or
+    # interleave save/restore and leave the session confs flipped:
     #   * autoBucketedScan off -- DisableUnnecessaryBucketedScan would see
     #     a bare scan+persist (no join above it at cache-build time) and
     #     silently compile the cache WITHOUT the hash layout,
@@ -200,21 +208,22 @@ def prepare_edges(edges: DataFrame, partitions: int | None = None,
     sess = e.sparkSession
     keys = {"spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
             "spark.sql.legacy.bucketedTableScan.outputOrdering": "true"}
-    prev: dict[str, str | None] = {}
-    for k in keys:
+    with _BUCKETED_CONF_LOCK:
+        prev: dict[str, str | None] = {}
+        for k in keys:
+            try:
+                prev[k] = sess.conf.get(k)
+            except Exception:
+                prev[k] = None
         try:
-            prev[k] = sess.conf.get(k)
-        except Exception:
-            prev[k] = None
-    try:
-        for k, v in keys.items():
-            sess.conf.set(k, v)
-        e = register_cache(e.persist())
-        e.count()
-    finally:
-        for k, v in prev.items():
-            if v is not None:
+            for k, v in keys.items():
                 sess.conf.set(k, v)
+            e = register_cache(e.persist())
+            e.count()
+        finally:
+            for k, v in prev.items():
+                if v is not None:
+                    sess.conf.set(k, v)
     return e
 
 

@@ -104,3 +104,41 @@ def test_pagerank_over_bucketed_projection_parity(spark):
                    for i in p)
     finally:
         spark.sql("DROP TABLE IF EXISTS bkpr_edges_bucketed")
+
+
+def test_project_bucketed_aggregated_applies_orientation_once(spark):
+    """Code-review r5: aggregated_edges APPLIES the source orientation at
+    write time, so the projected graph must be NATURAL -- an UNDIRECTED
+    graph's projection stores the mirrored rows exactly once (no
+    double-mirroring on later use) and pagerank over it matches the
+    plain UNDIRECTED graph."""
+    import math
+
+    from neo4j_graph_data_science_spark.catalog import (
+        GraphCatalog, Orientation, from_edge_list,
+    )
+    from neo4j_graph_data_science_spark.operators.pagerank import (
+        PageRankConfig, page_rank,
+    )
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6)]
+    g = from_edge_list(spark, edges, n_nodes=12, orientation="UNDIRECTED")
+    cat = GraphCatalog()
+    gb = cat.project_bucketed("bkund", g, buckets=2, aggregation="COUNT")
+    try:
+        assert gb.orientation == Orientation.NATURAL
+        # stored rows are the mirrored multiset: 2 rows per undirected edge
+        assert gb.edges.count() == 2 * len(edges)
+        # weight carries true multiplicity (1.0 each), not a doubled count
+        assert all(r.weight == 1.0
+                   for r in gb.aggregated_edges("COUNT").collect())
+        p = {r.id: r.score for r in page_rank(
+            g, PageRankConfig(max_iterations=40, tolerance=1e-8)
+        ).state.collect()}
+        b = {r.id: r.score for r in page_rank(
+            gb, PageRankConfig(max_iterations=40, tolerance=1e-8)
+        ).state.collect()}
+        assert all(math.isclose(p[i], b[i], rel_tol=1e-9, abs_tol=1e-9)
+                   for i in p)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkund_edges_bucketed")

@@ -162,3 +162,17 @@ def test_lsh_probe_dim_null_plurality_legacy_size_conf(spark):
         assert {r.query_id for r in top.collect()} <= {10, 11, 12, 13}
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_lsh_probe_dim_empty_array_plurality(spark):
+    """Code-review r5: empty arrays (failed upstream featurization) must
+    be excluded from the modal-dim probe like NULLs -- an empty-plurality
+    corpus still probes dim from the valid vectors."""
+    from neo4j_graph_data_science_spark.operators.ann import lsh_topk
+
+    rows = [(i, []) for i in range(6)] + \
+           [(10 + i, [1.0 * i, 2.0, 3.0]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = lsh_topk(emb, emb, k=2, n_planes=2)
+    assert top.count() > 0
+    assert {r.query_id for r in top.collect()} <= {10, 11, 12, 13}
